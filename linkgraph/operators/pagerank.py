@@ -1,0 +1,152 @@
+"""Power-iteration PageRank — Family-A semantics (SURVEY §2.8).
+
+Reference semantics reproduced exactly
+(/root/reference/pagerank_implementations/pagerank_custom.h:59-96):
+
+    init:   rank = 1/n for all vertices       (helpers/helper.h:52-58)
+    step:   leaked = Σ rank[v] over dangling v (pagerank_custom.h:70-76)
+            base   = (leaked + (1-leaked)(1-d)) / n
+            new[i] = base + Σ_{j∈in(i)} d·rank[j]/outdeg[j]
+                                               (pagerank_custom.h:80-87)
+    stop:   L2 ‖new-old‖₂ ≤ eps                (helpers/helper.h:12-22)
+            or max_iter                        (global_config.h:8-10)
+
+Two physical strategies, identical semantics (allclose 1e-6 asserted in tests):
+
+* ``pagerank_dataframe`` — pure DataFrame join+agg. The per-edge gather of
+  rank[src] (the reference SpMV inner loop, pagerank_custom.h:83-85) is an
+  equi-join; the row reduce is groupBy(dst).sum; isolated/dangling vertices
+  get the base term via a left outer join against the full vertex set (the
+  reference loops over all i∈[0,n), pagerank_custom.h:81). This path has no
+  driver-size assumptions — it is the unbounded-scale fallback.
+
+* ``pagerank_sharded`` (plans/shards.py) — partitioned-CSR gather-scatter in
+  Arrow-batched numpy kernels over salted, edge-balanced adjacency shards;
+  the idiomatic analogue of the reference's MPI design (main_mpi.c:67-154):
+  broadcast dense rank vector ≙ MPI_Allgatherv, driver norm ≙ MPI_Reduce.
+
+Per-iteration driver work is ONE Spark action: norm² and the next
+iteration's dangling mass are computed in the same aggregate (piggyback —
+the reference's per-iteration scalar host readback, pagerank_custom.h:261-268,
+batched per SURVEY §4 X7).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.operators.degrees import out_degrees, vertices, weighted_edges
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # [node: long, rank: double]
+    iterations: int
+    norm: float
+    converged: bool
+    iter_metrics: list[dict] = field(default_factory=list)
+
+
+def pagerank_dataframe(
+    edges: DataFrame,
+    d: float = 0.85,
+    eps: float = 1e-6,
+    max_iter: int = 200,
+    check_convergence: bool = True,
+    store=None,
+    run_id: str | None = None,
+) -> PageRankResult:
+    """Pure-DataFrame Family-A PageRank. ``store`` (optional
+    linkgraph.checkpoint.CheckpointStore) snapshots ranks+metrics per
+    iteration and enables mid-convergence resume."""
+    spark = edges.sparkSession
+
+    wedges = weighted_edges(edges).persist()
+    verts = vertices(edges)
+    od = out_degrees(edges)
+    # rank state carries is_dangling so the leaked-mass scalar needs no join
+    state0 = (
+        verts.join(od, "node", "left")
+        .select("node", (F.coalesce(F.col("out_deg"), F.lit(0)) == 0).alias("is_dangling"))
+        .persist()
+    )
+    n = state0.count()
+    if n == 0:
+        raise ValueError("pagerank: empty graph (no vertices in edge table)")
+    wedges.count()  # materialize loop-invariant weights before timing the loop
+
+    start_iter = 0
+    if store is not None and run_id is not None and store.latest_iteration(run_id) is not None:
+        start_iter = store.latest_iteration(run_id)
+        snap = store.read_ranks(spark, run_id, start_iter)
+        ranks = state0.join(snap, "node").select("node", "is_dangling", "rank").persist()
+        leaked = float(
+            ranks.agg(F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("l")).first()["l"]
+            or 0.0
+        )
+    else:
+        ranks = state0.withColumn("rank", F.lit(1.0 / n)).persist()
+        leaked = float(state0.filter("is_dangling").count()) / n
+
+    norm = float("inf")
+    converged = False
+    metrics: list[dict] = []
+    it = start_iter
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.monotonic()
+        base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+        # gather + row-reduce: SpMV as equi-join + hash aggregate
+        contribs = (
+            wedges.join(ranks.select("node", "rank"), wedges.src == F.col("node"), "inner")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("weight")).alias("contrib"))
+        )
+        new_ranks = (
+            ranks.join(contribs, "node", "left")
+            .select(
+                "node",
+                "is_dangling",
+                (F.lit(base) + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                F.col("rank").alias("rank_old"),
+            )
+            .localCheckpoint(eager=False)  # break lineage each iteration (X5)
+        )
+        # ONE action per iteration: L2 delta + next iteration's dangling mass
+        agg = new_ranks.agg(
+            F.sum(F.pow(F.col("rank") - F.col("rank_old"), 2)).alias("sq"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("leaked"),
+            F.sum("rank").alias("mass"),
+        ).first()
+        norm = float(agg["sq"]) ** 0.5
+        leaked = float(agg["leaked"])
+        old = ranks
+        ranks = new_ranks.select("node", "is_dangling", "rank").persist()
+        old.unpersist()
+        wall_ms = (time.monotonic() - t0) * 1e3
+        metrics.append(
+            {"iteration": it, "norm": norm, "mass": float(agg["mass"]), "wall_ms": wall_ms}
+        )
+        if store is not None and run_id is not None:
+            store.write_iteration(run_id, it, ranks.select("node", "rank"), metrics[-1])
+        if check_convergence and norm <= eps:
+            converged = True
+            break
+
+    wedges.unpersist()
+    state0.unpersist()
+    return PageRankResult(
+        ranks=ranks.select("node", "rank"),
+        iterations=it,
+        norm=norm,
+        converged=converged,
+        iter_metrics=metrics,
+    )
+
+
+def top_k(ranks: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k vertices by rank, deterministic tie-break on node id."""
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(k)
