@@ -1,0 +1,85 @@
+"""Bench harness — one JSON line to stdout (driver contract).
+
+Headline metric: PageRank edges-processed/sec to 1e-6 convergence
+(edges × iterations ÷ wall_sec, BASELINE.json metric) on the deterministic
+synthetic transcript-derived edge table sized by the sf of
+$SPARK_GRAFT_SF_DIR, run on local[$SPARK_GRAFT_CPUS] via the sharded
+Arrow-kernel path. Secondary: wall times for representative driver-contract
+queries at the sf dir.
+
+Scaling evidence (N vs 4N executors) lives in bench_scaling.py →
+BENCH/BASELINE.md; this file is the per-round feedback loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from linkgraph.session import get_spark
+    from linkgraph.sources import derive_edges, generate_transcripts
+    from linkgraph.operators.pagerank import pagerank_sharded
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="linkgraph-bench", master=f"local[{cpus}]")
+
+    # --- headline: transcript -> edges -> converged PageRank ---
+    n_convs = max(200, int(1_000_000 * sf))  # sf0.1 -> 100k convs ≈ 1.6M edges
+    t_gen0 = time.monotonic()
+    transcripts = generate_transcripts(spark, n_convs=n_convs, seed=42)
+    edges = derive_edges(transcripts).select("src", "dst").persist()
+    m = edges.count()
+    gen_sec = time.monotonic() - t_gen0
+
+    t0 = time.monotonic()
+    res = pagerank_sharded(edges, eps=1e-6, max_iter=200)
+    pr_sec = time.monotonic() - t0
+    edges_per_sec = m * res.iterations / pr_sec
+    build_ms = res.iter_metrics[0]["wall_ms"] if res.iter_metrics else 0
+    per_iter_ms = (
+        sum(mm["wall_ms"] for mm in res.iter_metrics[1:]) / max(1, len(res.iter_metrics) - 1)
+    )
+    edges.unpersist()
+
+    # --- secondary: representative relational/pipeline queries at sf_dir ---
+    queries = {}
+    qs = entry_mod.queries()
+    for name in ["edge_derivation", "out_degrees", "pagerank_step", "top_hubs",
+                 "exact_dedup", "token_count", "quality", "cosine_topk",
+                 "minhash_near_dups", "components", "triangles"]:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).count()  # force full execution
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "pagerank_edges_per_sec_to_1e-6",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/sec",
+        "queries": queries,
+        "sf": sf,
+        "detail": {
+            "edges": m,
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "pagerank_wall_sec": round(pr_sec, 3),
+            "gen_wall_sec": round(gen_sec, 3),
+            "first_iter_ms": round(build_ms, 1),
+            "steady_iter_ms": round(per_iter_ms, 1),
+            "cpus": cpus,
+        },
+    }
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operate on a documents table ``[doc_id: long, text: string, ...]`` and
+are pure Catalyst except where noted — no per-row Python anywhere.
+
+* ``exact_dedup``      — hash-groupBy on md5(text); one shuffle.
+* ``minhash_lsh``      — shingle → k minhashes (xxhash64 family) → banded
+                         LSH buckets → candidate-pair self-join. The classic
+                         MinHash/LSH pipeline (Broder '97; Leskovec et al.,
+                         Mining of Massive Datasets ch.3), expressed as
+                         explode + groupBy-min + join. Scales: the only
+                         quadratic step is within-bucket pairing, bounded by
+                         band width.
+* ``simhash``          — 64-bit SimHash (Charikar '02) via one token explode
+                         + 64 conditional-sum aggregates (no row blowup).
+* ``ngram_jaccard_pairs`` — exact Jaccard verification for candidate pairs
+                         via shingle-set joins (the verify stage after LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(text_col):
+    return F.lower(F.regexp_replace(text_col, r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text: [text_hash, keep_id=min id, dup_count]."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_len: int = 5
+) -> DataFrame:
+    """[id, shingle] — distinct word shingles of length ``shingle_len``."""
+    toks = F.split(_normalize(F.col(text_col)), " ")
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_len, F.lit(0)))
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_len)))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """[id, sig: array<long>] — k-minhash signature per document."""
+    sh = shingles(docs, id_col, text_col, shingle_len)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs [a, b, est_jaccard] (a < b).
+
+    est_jaccard = fraction of agreeing minhashes — the unbiased MinHash
+    estimator. Banding: a pair becomes a candidate iff all rows of at least
+    one band agree."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len).persist()
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(
+        F.col("id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+    )
+    out = pairs.select(
+        "a", "b", (agree / F.size("sig_a")).cast("double").alias("est_jaccard")
+    )
+    return out
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, simhash: long] — 64-bit SimHash over whitespace tokens.
+
+    One explode + 64 conditional sums; the bit assembly folds sign bits into
+    a single long with a shift-or aggregate expression."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(_normalize(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*sums)
+    bit_exprs = [
+        F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    fold = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        fold = fold.bitwiseOR(e)
+    return agg.select("id", fold.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, via pigeonhole block
+    bucketing: with n_blocks = max_hamming + 1 bit-blocks, any pair at
+    distance <= max_hamming shares at least one exactly-equal block, so the
+    candidate join is equality-bucketed (never all-pairs)."""
+    n_blocks = max_hamming + 1
+    bounds = [i * 64 // n_blocks for i in range(n_blocks + 1)]
+    sh = simhash(docs, **kw).persist()
+    block_structs = []
+    for b in range(n_blocks):
+        lo, hi = bounds[b], bounds[b + 1]
+        mask = (1 << (hi - lo)) - 1
+        block_structs.append(
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
+    blocks = sh.select(
+        "id", "simhash", F.explode(F.array(*block_structs)).alias("bv")
+    ).select("id", "simhash", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+    l = blocks.select(F.col("id").alias("a"), F.col("simhash").alias("sh_a"), "blk", "val")
+    r = blocks.select(F.col("id").alias("b"), F.col("simhash").alias("sh_b"), "blk", "val")
+    pairs = (
+        l.join(r, ["blk", "val"]).filter(F.col("a") < F.col("b")).select("a", "b", "sh_a", "sh_b").distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,  # [a, b]
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via shingle-set joins:
+    |A∩B| from an equi-join on shingles, |A∪B| = |A|+|B|-|A∩B|."""
+    sh = shingles(docs, id_col, text_col, shingle_len).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("id").alias("a"), "shingle")
+    sb = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        candidates.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    out = (
+        candidates.join(inter, ["a", "b"], "left")
+        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+    return out

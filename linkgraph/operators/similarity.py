@@ -1,0 +1,209 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk``      — brute-force exact top-k: broadcast the (small) query
+                         set, score with Catalyst array expressions
+                         (zip_with/aggregate — JVM-side, codegen'd), window
+                         top-k. The baseline every approximate path is
+                         measured against.
+* ``cosine_topk_arrow``— same result via a numpy matmul inside mapInArrow
+                         (one BLAS GEMM per Arrow batch against the broadcast
+                         query matrix) — the throughput path when queries
+                         are many; exactness asserted against cosine_topk.
+* ``lsh_topk``         — random-hyperplane (sign) LSH: deterministic ±1
+                         Rademacher planes derived from xxhash64(plane, dim),
+                         bucket join on the bit signature, exact re-rank
+                         within bucket. The scale path: candidate set shrinks
+                         ~2^bits-fold; recall traded via ``bits``/``probes``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[query_id, neighbor_id, cosine, rank] — exact brute force.
+
+    queries: same schema as embeddings (id + vector). Self-matches excluded.
+    Plan: broadcast-nested-loop of |Q|×|N| with JVM-side arithmetic; right
+    side scales out, left side must be broadcastable (that is what 'query
+    set' means here)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same contract as cosine_topk; scoring via numpy GEMM per Arrow batch.
+    Each partition emits its local top-k per query; the global top-k is a
+    final window over (num_partitions × k) rows per query — never the full
+    score matrix."""
+    spark = embeddings.sparkSession
+    qp = queries.select(id_col, vec_col).toPandas()
+    q_ids = qp[id_col].to_numpy()
+    q_mat = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, qm = bc.value
+        kk = k
+        for b in batches:
+            nid = b.column(0).to_numpy(zero_copy_only=False)
+            vecs = np.stack(b.column(1).to_pylist()).astype(np.float64)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = qm @ vecs.T  # (Q, B) GEMM — the whole kernel
+            for qi in range(len(ids)):
+                row = sims[qi]
+                mask = nid != ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                top = cand_idx[np.argsort(-row[cand_idx], kind="stable")[:kk]]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(len(top), ids[qi], dtype=np.int64)),
+                        pa.array(nid[top].astype(np.int64)),
+                        pa.array(row[top]),
+                    ],
+                    names=["query_id", "neighbor_id", "cosine"],
+                )
+
+    partial = embeddings.select(id_col, vec_col).mapInArrow(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_signature(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 12, seed: int = 42
+) -> DataFrame:
+    """Append a ``sig`` long column: sign-LSH signature from deterministic
+    Rademacher (±1) hyperplanes; plane p, dim i entry = ±1 from
+    xxhash64(p, i, seed). Pure Catalyst array arithmetic."""
+    v = F.col(vec_col)
+    bit_cols = []
+    for p in range(bits):
+        signs = F.transform(
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda i: F.when(
+                F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), F.lit(2)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        dot = F.aggregate(
+            F.zip_with(v.cast("array<double>"), signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bit_cols.append(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    sig = bit_cols[0]
+    for b in bit_cols[1:]:
+        sig = sig.bitwiseOR(b)
+    return df.withColumn("sig", sig)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = same-signature bucket, exact cosine
+    re-rank within. Returns [query_id, neighbor_id, cosine, rank]."""
+    e = hyperplane_signature(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+        "nv",
+        bits,
+        seed,
+    )
+    q = hyperplane_signature(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+        bits,
+        seed,
+    )
+    cand = (
+        F.broadcast(q)
+        .join(e, "sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs [a, b, cosine] with cosine >=
+    threshold, LSH-bucketed so the pair join is within-bucket only."""
+    e = hyperplane_signature(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", bits, seed
+    )
+    l = e.select(F.col("id").alias("a"), F.col("v").alias("va"), "sig")
+    r = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), "sig")
+    return (
+        l.join(r, "sig")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            _cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

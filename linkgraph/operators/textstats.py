@@ -1,0 +1,111 @@
+"""Text analysis operators — language-ID, quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (JVM-side, codegen'd);
+formulas chosen to be exactly reproducible in ANSI SQL so every operator has
+a DuckDB oracle in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists for the n-gram language heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "ich", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+}
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_tokens``: whitespace tokens, SQL-portable formula
+    (length diff, robust to multiple spaces via normalized text)."""
+    t = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+    return docs.withColumn("n_tokens", n.cast("long"))
+
+
+def word_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_word_tokens``: BPE-ish subword proxy — count of
+    letter-runs and digit-runs and punctuation marks (a deterministic
+    regex tokenizer; the standard pre-tokenization shape used by BPE)."""
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return docs.withColumn(
+        "n_word_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).cast("long")
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic quality features + a composite score in [0,1]:
+
+    * len_score      — saturating length preference (500-char knee)
+    * punct_ratio    — punctuation chars / chars
+    * stopword_ratio — English stopword hits / tokens
+    * score          — 0.5*len + 0.3*(1-min(1,4*punct)) + 0.2*min(1,5*stop)
+    """
+    t = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n_chars = F.length(t)
+    n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(
+        n_chars - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()]", ""))
+    lt = F.lower(t)
+    sw = _STOPWORDS["en"]
+    # stopword hits counted on space-delimited tokens, SQL-portable:
+    padded = F.concat(F.lit(" "), lt, F.lit(" "))
+    hits = None
+    for w in sw:
+        c = (
+            F.length(padded)
+            - F.length(F.replace(padded, F.lit(f" {w} "), F.lit("")))
+        ) / F.lit(len(w) + 2)
+        hits = c if hits is None else hits + c
+    len_score = F.least(F.lit(1.0), n_chars.cast("double") / 500.0)
+    punct_ratio = F.when(n_chars == 0, 0.0).otherwise(n_punct.cast("double") / n_chars)
+    stop_ratio = F.when(n_tokens == 0, 0.0).otherwise(hits.cast("double") / n_tokens)
+    score = (
+        0.5 * len_score
+        + 0.3 * (1.0 - F.least(F.lit(1.0), 4.0 * punct_ratio))
+        + 0.2 * F.least(F.lit(1.0), 5.0 * stop_ratio)
+    )
+    return (
+        docs.withColumn("len_score", F.round(len_score, 8))
+        .withColumn("punct_ratio", F.round(punct_ratio, 8))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 8))
+        .withColumn("quality", F.round(score, 8))
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``lang_pred``: argmax over per-language stopword hit counts
+    (n-gram-free heuristic; deterministic ties -> alphabetical first)."""
+    lt = F.concat(F.lit(" "), F.lower(F.trim(F.col(text_col))), F.lit(" "))
+    scores = []
+    for lang in sorted(_STOPWORDS):
+        hits = None
+        for w in _STOPWORDS[lang]:
+            c = (
+                F.length(lt) - F.length(F.replace(lt, F.lit(f" {w} "), F.lit("")))
+            ) / F.lit(len(w) + 2)
+            hits = c if hits is None else hits + c
+        scores.append(F.struct(hits.cast("double").alias("hits"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    return docs.withColumn("lang_pred", pred)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append two fingerprints:
+    * ``fp_exact`` — xxhash64 of whitespace-normalized lowercased text
+    * ``fp_min``   — min xxhash64 over 8-token rolling windows (a 1-hash
+      MinHash: equal fp_min is a cheap near-dup signal)"""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = F.split(norm, " ")
+    win = 8
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - win, F.lit(0)))
+    rolling = F.transform(idxs, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, win))))
+    return docs.withColumn("fp_exact", F.xxhash64(norm)).withColumn(
+        "fp_min", F.array_min(rolling)
+    )

@@ -75,11 +75,19 @@ def connected_components(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray
 def label_propagation(
     src: np.ndarray, dst: np.ndarray, n: int, max_iter: int = 10
 ) -> np.ndarray:
-    """Synchronous LPA on the undirected view. Deterministic: every node takes
-    the most frequent label among its neighbors; ties broken by smaller label;
-    nodes with no neighbors keep their own label. Fixed iteration count."""
-    s = np.concatenate([np.asarray(src, np.int64), np.asarray(dst, np.int64)])
-    t = np.concatenate([np.asarray(dst, np.int64), np.asarray(src, np.int64)])
+    """Synchronous LPA on the simple undirected view (multi-edges deduped,
+    self-loops dropped — matching operators/lpa.py which uses symmetrize()).
+    Deterministic: every node takes the most frequent label among its
+    neighbors; ties broken by smaller label; nodes with no neighbors keep
+    their own label. Fixed iteration count with early stop at fixpoint."""
+    pairs = {
+        (int(a), int(b))
+        for a, b in zip(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+        if a != b
+    }
+    pairs |= {(b, a) for a, b in pairs}
+    s = np.array([a for a, b in sorted(pairs)], dtype=np.int64)
+    t = np.array([b for a, b in sorted(pairs)], dtype=np.int64)
     labels = np.arange(n, dtype=np.int64)
     for _ in range(max_iter):
         new = labels.copy()

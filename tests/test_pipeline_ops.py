@@ -1,0 +1,196 @@
+"""Training-data pipeline operators: dedup, similarity, textstats, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.operators import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+# ---- dedup ----
+
+def test_exact_dedup(spark):
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    rows = {r["keep_id"]: r["dup_count"] for r in dedup.exact_dedup(d).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark dataframes and shuffles " * 5
+    d = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["a"], r["b"]): r["est_jaccard"] for r in dedup.minhash_lsh(d, bands=16).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_estimate_close_to_exact(spark, docs):
+    sample = docs.limit(30)
+    pairs = dedup.minhash_lsh(sample, num_hashes=64, bands=32)
+    exact = dedup.ngram_jaccard_pairs(sample, pairs.select("a", "b"), shingle_len=5)
+    joined = pairs.join(exact, ["a", "b"]).collect()
+    for r in joined:
+        assert abs(r["est_jaccard"] - r["jaccard"]) < 0.35  # 64-hash estimator noise
+
+
+def test_simhash_near_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    near = base.replace("theta", "iota", 1)
+    far = "one two three four five six seven eight nine ten " * 8
+    d = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(d).collect()}
+    assert bin(sh[1] ^ sh[2]).count("1") < bin(sh[1] ^ sh[3]).count("1")
+    pairs = [(r["a"], r["b"]) for r in dedup.simhash_near_pairs(d, max_hamming=8).collect()]
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+# ---- similarity ----
+
+def test_cosine_topk_exact_vs_numpy(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    got = similarity.cosine_topk(emb, q, k=5).collect()
+    ep = emb.toPandas()
+    ids = ep["vec_id"].to_numpy()
+    M = np.stack(ep["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        sims = Mn @ Mn[qi]
+        order = [
+            int(ids[j])
+            for j in sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+            if ids[j] != qid
+        ][:5]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert mine == order
+
+
+def test_arrow_topk_matches_catalyst_topk(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    a = similarity.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id", "rank").collect()
+    b = similarity.cosine_topk_arrow(emb, q, k=5).select("query_id", "neighbor_id", "rank").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_topk_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    approx = similarity.lsh_topk(emb, q, k=5, bits=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.2  # 4-bit buckets: coarse but must be far above random
+    # every approx hit must carry the exact cosine (re-rank is exact)
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert abs(r["cosine"] - ex[key]) < 1e-9
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_dup_pairs(d, threshold=0.95, bits=2).collect()
+    keys = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in keys
+    assert all(r["cosine"] >= 0.95 for r in pairs)
+
+
+# ---- textstats ----
+
+def test_token_count(spark):
+    d = spark.createDataFrame(
+        [(1, "a b  c"), (2, ""), (3, "   "), (4, "single")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in textstats.token_count(d).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+def test_word_token_count(spark):
+    d = spark.createDataFrame([(1, "hello, world 42!")], "doc_id long, text string")
+    # letter-runs: hello, world; digit-runs: 42; punct: , !  => 5
+    assert textstats.word_token_count(d).first()["n_word_tokens"] == 5
+
+
+def test_quality_score_bounds(spark, docs):
+    q = textstats.quality_score(docs)
+    bad = q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+    r = q.filter(F.col("n_chars") > 400).agg(F.avg("len_score")).first()[0]
+    assert r > 0.8  # long docs saturate length score
+
+
+def test_language_id(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was the best of times"),
+            (2, "der hund und die katze das ist nicht ein problem"),
+            (3, "le chat et la souris dans les champs est une histoire"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(d).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_fingerprint_normalization(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello   World foo bar"), (2, "hello world  foo bar"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["fp_exact"], r["fp_min"]) for r in textstats.fingerprint(d).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+# ---- multimodal ----
+
+def test_media_schema_and_featurize(spark):
+    m = multimodal.synthetic_media(spark, 32)
+    assert [(f.name, f.dataType.simpleString()) for f in m.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    feats = multimodal.decode_and_featurize(m).collect()
+    assert len(feats) == 32
+    assert all(0 <= r["mean_px"] <= 255 and r["n_bytes"] > 0 for r in feats)
+    # deterministic across partitionings
+    feats2 = multimodal.decode_and_featurize(m.repartition(7)).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+
+def test_real_decode_is_gated(spark):
+    m = multimodal.synthetic_media(spark, 4)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_and_featurize(m, real=True)
+
+
+def test_frame_sample_and_resize(spark):
+    m = multimodal.synthetic_media(spark, 64)
+    fs = multimodal.frame_sample(m, every_k=8)
+    assert fs.filter(F.col("frame_idx") % 8 != 0).count() == 0
+    rp = multimodal.resize_plan(m, target=224).collect()
+    assert all(min(r["out_width"], r["out_height"]) == 224 for r in rp)
