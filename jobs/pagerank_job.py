@@ -1,0 +1,145 @@
+"""spark-submit entry job: transcripts -> edges -> converged PageRank.
+
+The north rule requires the engine to launch via
+
+    spark-submit --py-files dist/linkgraph.zip jobs/pagerank_job.py [opts]
+
+(mirroring the reference's sbatch launcher, /root/reference/pr_submit.sh:41-60).
+This job is a plain argparse CLI with NO imports from the repo directory —
+everything comes from the shipped zip — so it runs identically on a real
+cluster. It prints exactly one JSON line with the result metrics, which
+``bench_scaling.py`` parses to produce BENCH/BASELINE.md.
+
+Modes:
+  --transcripts PATH   read a transcripts parquet table (conv_id, turn_idx,
+                       role, text, tool, ts) and derive edges from it
+  --generate N         synthesize N deterministic conversations instead
+  --edges PATH         read a ready [src,dst] edge parquet directly
+
+Checkpoint/resume: pass --checkpoint-dir and --run-id; if the run already
+has committed iterations the job resumes mid-convergence (north rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(description="linkgraph PageRank job")
+    p.add_argument("--transcripts", help="parquet path of transcripts table")
+    p.add_argument("--edges", help="parquet path of [src,dst] edge table")
+    p.add_argument("--generate", type=int, help="synthesize N conversations")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--eps", type=float, default=1e-6)
+    p.add_argument("--max-iter", type=int, default=200)
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--num-shards", type=int, default=None)
+    p.add_argument(
+        "--strategy", choices=["barrier", "sharded", "dataframe"], default="barrier"
+    )
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--output", default=None, help="parquet path for the rank table")
+    p.add_argument("--top-k", type=int, default=0, help="also print top-k actors")
+    args = p.parse_args(argv)
+
+    # Session: when launched by spark-submit the master/conf come from the
+    # submit command line; getOrCreate() picks them up. Standalone python
+    # falls back to linkgraph.session defaults.
+    from pyspark.sql import SparkSession
+
+    from linkgraph.checkpoint import ParquetManifestStore
+    from linkgraph.operators.pagerank import pagerank_dataframe, pagerank_sharded
+    from linkgraph.sources import derive_edges, generate_transcripts
+
+    spark = SparkSession.builder.appName("linkgraph-pagerank").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    t_ingest0 = time.monotonic()
+    if args.edges:
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+    else:
+        if args.transcripts:
+            transcripts = spark.read.parquet(args.transcripts)
+        elif args.generate:
+            transcripts = generate_transcripts(spark, n_convs=args.generate, seed=args.seed)
+        else:
+            p.error("one of --transcripts / --edges / --generate is required")
+        edges = derive_edges(transcripts).select("src", "dst")
+    edges = edges.persist()
+    m = edges.count()
+    ingest_sec = time.monotonic() - t_ingest0
+
+    store = ParquetManifestStore(args.checkpoint_dir) if args.checkpoint_dir else None
+
+    # build (one-time shuffles) timed separately from the iterate loop —
+    # the reference also reports read/format vs per-iteration time apart
+    # (/root/reference/main.c:32-33,55-61)
+    build_sec = 0.0
+    if args.strategy in ("barrier", "sharded"):
+        from linkgraph.plans.barrier import pagerank_barrier
+        from linkgraph.plans.shards import ShardedGraph
+
+        t0 = time.monotonic()
+        g = ShardedGraph.build(edges, num_shards=args.num_shards)
+        build_sec = time.monotonic() - t0
+        fn = pagerank_barrier if args.strategy == "barrier" else pagerank_sharded
+        t0 = time.monotonic()
+        res = fn(
+            edges,
+            d=args.damping,
+            eps=args.eps,
+            max_iter=args.max_iter,
+            store=store,
+            run_id=args.run_id,
+            sharded_graph=g,
+        )
+        wall = time.monotonic() - t0
+        g.unpersist()
+    else:
+        t0 = time.monotonic()
+        res = pagerank_dataframe(
+            edges,
+            d=args.damping,
+            eps=args.eps,
+            max_iter=args.max_iter,
+            store=store,
+            run_id=args.run_id,
+        )
+        wall = time.monotonic() - t0
+
+    if args.output:
+        res.ranks.write.mode("overwrite").parquet(args.output)
+
+    out = {
+        "edges": m,
+        "vertices": res.ranks.count(),
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "final_norm": res.norm,
+        "wall_sec": round(wall, 3),
+        "build_sec": round(build_sec, 3),
+        "ingest_sec": round(ingest_sec, 3),
+        "edges_per_sec": round(m * res.iterations / wall, 1),
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "strategy": args.strategy,
+    }
+    if args.top_k:
+        from linkgraph.operators.pagerank import top_k
+
+        out["top"] = [
+            {"node": r["node"], "rank": r["rank"]}
+            for r in top_k(res.ranks, args.top_k).collect()
+        ]
+    print(json.dumps(out))
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -127,6 +127,51 @@ class ParquetManifestStore:
         return sorted(self._read_manifest(run_id)["iterations"], key=lambda e: e["iteration"])
 
 
+def write_iteration_arrays(
+    root: str,
+    run_id: str,
+    iteration: int,
+    node_ids,
+    rank,
+    iter_metrics: dict,
+    partition_metrics: list[dict] | None = None,
+) -> None:
+    """Spark-free writer producing the exact ParquetManifestStore layout —
+    used by the barrier-mode engine (plans/barrier.py) where task 0 commits
+    checkpoints executor-side with pyarrow (no driver round-trip). A store
+    created over the same root reads these snapshots transparently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, run_id)
+    rank_path = os.path.join(d, "ranks", f"iter={iteration}")
+    os.makedirs(rank_path, exist_ok=True)
+    pq.write_table(
+        pa.table({"node": node_ids, "rank": rank}),
+        os.path.join(rank_path, "part-0.parquet"),
+    )
+    metrics_path = None
+    if partition_metrics:
+        metrics_path = os.path.join(d, "metrics", f"iter={iteration}")
+        os.makedirs(metrics_path, exist_ok=True)
+        cols = {k: [m[k] for m in partition_metrics] for k in partition_metrics[0]}
+        pq.write_table(pa.table(cols), os.path.join(metrics_path, "part-0.parquet"))
+    store = ParquetManifestStore(root)
+    manifest = store._read_manifest(run_id)
+    manifest["iterations"] = [
+        e for e in manifest["iterations"] if e["iteration"] != iteration
+    ] + [
+        {
+            "iteration": iteration,
+            "rank_path": rank_path,
+            "metrics_path": metrics_path,
+            "committed_at": time.time(),
+            **{k: v for k, v in iter_metrics.items() if k != "iteration"},
+        }
+    ]
+    store._commit_manifest(run_id, manifest)
+
+
 class IcebergStore:
     """Iceberg-backed store: same interface, tables
     ``<catalog>.<db>.ranks_<run_id>`` / ``metrics_<run_id>``; snapshot

@@ -190,8 +190,10 @@ def pagerank_sharded(
         leaked = float(rank[g.dangling_mask].sum())
         base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
         idx, partial, part_metrics = g.spmv_partials(rank)
+        # second-level combine of (salted) partials: one dense bincount
+        # (np.add.at is ~20× slower per element)
         new = np.full(n, base, dtype=np.float64)
-        np.add.at(new, idx, d * partial)  # second-level combine of salted partials
+        new += d * np.bincount(idx, weights=partial, minlength=n)
         norm = float(np.sqrt(((new - rank) ** 2).sum()))
         rank = new
         wall_ms = (time.monotonic() - t0) * 1e3

@@ -140,33 +140,55 @@ def hyperplane_signature(
     return df.withColumn("sig", sig)
 
 
+def _multi_signature(df: DataFrame, out_id: str, vec_col: str, bits: int,
+                     tables: int, seed: int) -> DataFrame:
+    """[out_id, v, tbl, sig] — one signature row per (vector, hash table).
+    Table t's planes are seeded with seed + t·1009 so tables are independent."""
+    sigs = df
+    for t in range(tables):
+        sigs = hyperplane_signature(sigs, vec_col, bits, seed + t * 1009).withColumnRenamed(
+            "sig", f"sig_{t}"
+        )
+    tbl_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig"))
+            for t in range(tables)
+        ]
+    )
+    return sigs.select(
+        out_id, vec_col, F.explode(tbl_structs).alias("ts")
+    ).select(out_id, vec_col, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
     bits: int = 10,
+    tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same-signature bucket, exact cosine
-    re-rank within. Returns [query_id, neighbor_id, cosine, rank]."""
-    e = hyperplane_signature(
+    """Approximate top-k with multi-table sign-LSH: candidates = union over
+    ``tables`` independent hash tables of same-bucket vectors, deduped, then
+    exact cosine re-rank. Recall = 1-(1-p^bits)^tables for collision prob p
+    (Indyk-Motwani amplification); cost is bounded by bucket sizes, never
+    all-pairs. Returns [query_id, neighbor_id, cosine, rank]."""
+    e = _multi_signature(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
-        "nv",
-        bits,
-        seed,
+        "neighbor_id", "nv", bits, tables, seed,
     )
-    q = hyperplane_signature(
+    q = _multi_signature(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "qv",
-        bits,
-        seed,
+        "query_id", "qv", bits, tables, seed,
     )
     cand = (
         F.broadcast(q)
-        .join(e, "sig")
+        .join(e, ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

@@ -5,36 +5,53 @@ This is the Spark-first re-expression of the reference's distributed design
 
 reference                                   | here
 --------------------------------------------|----------------------------------
-contiguous node blocks sized by edge count  | dst-range buckets with
-(main_mpi.c:88-108)                         | edge-balanced boundaries from
-                                            | approxQuantile over the EDGE
-                                            | table (quantiles of dst weighted
-                                            | by edge multiplicity = the degree
-                                            | CDF, SURVEY §4 X4)
+contiguous node blocks sized by edge count  | dst-range buckets with exact
+(main_mpi.c:88-108)                         | edge-balanced boundaries from the
+                                            | in-degree CDF (a prefix sum over
+                                            | the n-row degree table — the
+                                            | rowptr build of
+                                            | pagerank_custom.h:128-134, done
+                                            | distributed; SURVEY §4 X4)
 JDS degree-bucketing of skewed rows         | explicit hub split: vertices with
 (readers/mtx_hybrid.h:39-221)               | in_degree > threshold get their
                                             | in-edge lists SALTED across
                                             | dedicated shards; partial sums
                                             | combined in a second level
                                             | (SURVEY §4 X3)
-MPI_Allgatherv of the dense rank vector     | per-iteration broadcast of the
-every iteration (pagerank_custom_mpi.h:62)  | rank ndarray to executors
-OpenCL gather-scatter kernels               | numpy gather + np.unique/bincount
-(kernels/pr_custom_matrix_in.cl:112-268)    | scatter inside mapInArrow
+CSR block resident per MPI rank for the     | shard parquet read ONCE per
+whole run (scattered at :122-126, reused    | Python worker, decoded numpy
+every iteration)                            | arrays cached in-process across
+                                            | iterations (worker reuse)
+MPI_Allgatherv of the dense rank vector     | per-iteration rank ndarray shipped
+every iteration (pagerank_custom_mpi.h:62)  | to executors (npy file / broadcast)
+OpenCL gather-scatter kernels               | numpy gather + bincount scatter
+(kernels/pr_custom_matrix_in.cl:112-268)    | inside mapInArrow
 per-iteration scalar readback               | one toPandas() of per-shard
 (pagerank_custom.h:261-268)                 | partial sums + metrics
 
+Why shard FILES instead of a cached DataFrame: feeding a cached relational
+DataFrame back through the JVM→Arrow→Python pipe re-serializes every edge
+every iteration and measures ~2M rows/s TOTAL regardless of core count (the
+columnar cache is row-materialized before Arrow conversion) — an iteration-
+scaling dead end. Parquet shard files are decoded by pyarrow inside the
+worker at >100M rows/s, and with `spark.python.worker.reuse` (default on)
+the decoded numpy arrays persist in the worker process, so steady-state
+iterations ship only the rank vector down and partial sums up — O(n), not
+O(m), per iteration, like the reference MPI loop. On a real cluster the
+shard directory lives on DFS/object storage; worker-local caching degrades
+gracefully to a re-read when the scheduler moves a shard between workers.
+
 Scale notes (100 TB / 1000-executor design):
 
-* The build is 3 shuffles total, all one-time: vertex index (sort),
-  edge→index join (hash/broadcast, AQE-skew-safe), repartition to shards.
-  Iterations reuse the persisted shards — ZERO shuffle per iteration.
+* Build cost: two O(m) degree aggregations + one O(m) join-pipeline write;
+  all bucket/salt planning happens on the O(n) degree table. Degree/index
+  join sides are broadcast when small, shuffle+AQE-skew otherwise.
 * Per-iteration driver traffic is O(n_distinct_dst + hubs·salts) partial
   sums, not O(edges): dst-locality from range bucketing keeps each dst in
   ~1 shard (hubs in `salts` shards).
-* The dense broadcast vector caps this fast path at rank vectors that fit
-  executor memory (~10^9 vertices at 8 B/vertex) — the same envelope as
-  the reference's MPI Allgatherv. Beyond that, `pagerank_dataframe` is the
+* The dense rank vector caps this fast path at vectors that fit executor
+  memory (~10^9 vertices at 8 B/vertex) — the same envelope as the
+  reference's MPI Allgatherv. Beyond that, `pagerank_dataframe` is the
   unbounded join-gather fallback (SURVEY §3.3).
 * Shard count is tuned from the edge count (`tune_shuffle_partitions`) —
   the north rule's per-iteration shuffle tuning applies to the build and
@@ -44,16 +61,20 @@ Scale notes (100 TB / 1000-executor design):
 from __future__ import annotations
 
 import math
+import os
+import shutil
+import tempfile
 import time
 from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark import TaskContext
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from linkgraph.operators.degrees import out_degrees, vertices
+from linkgraph.operators.degrees import in_degrees, out_degrees
 
 # target edges per shard/partition task — small enough to fit comfortably in
 # executor memory with headroom (per-edge state here is 3×8 B), large enough
@@ -72,64 +93,120 @@ def tune_shuffle_partitions(spark: SparkSession, m_edges: int, floor: int | None
     return p
 
 
+def _two_level_offsets(df: DataFrame, order_col: str) -> DataFrame:
+    """Add [_pid, _local] position columns ordered by ``order_col`` without a
+    global single-partition window: range-repartition, rank locally, compute
+    exclusive per-partition offsets from the tiny per-partition count table.
+    Returns df columns + [_pos] global 0-based position."""
+    spark = df.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(parts, order_col)
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(order_col)
+    local = ranged.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        (F.row_number().over(w) - 1).alias("_local"),
+    ).persist()  # pin: _pid/_local must agree between counts and the join
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off")
+    )  # tiny table: one row per partition — broadcast join
+    return local.join(F.broadcast(offsets), "_pid").withColumn(
+        "_pos", F.col("_local") + F.col("_off")
+    )
+
+
+def dense_index(df: DataFrame, col: str = "node") -> DataFrame:
+    """[col, idx] with idx dense in [0, n), ordered by col — fully
+    distributed densification (the reference uses a driver-side dict,
+    /root/reference/py_src/prepare_graph.py:15-23, which cannot scale)."""
+    return _two_level_offsets(df.select(col), col).select(col, F.col("_pos").alias("idx"))
+
+
 _STEP_SCHEMA = (
     "kind int, idx long, contrib double, part_id int, nnz long, rows long, wall_ms double"
 )
 
+# Worker-process shard cache: {shard_path: (src_idx, dst_idx, weight, lo)}.
+# Lives across iterations because Spark reuses Python workers; keys are
+# unique per build (fresh temp dir), so no staleness. Bounded LRU.
+_SHARD_CACHE: dict[str, tuple] = {}
+_SHARD_CACHE_MAX = 8
 
-def _make_step(bc_rank):
-    """Arrow kernel: per shard, gather rank[src]·w and partially reduce by
-    dst (np.unique + bincount — the scatter side of the reference's SpMV
-    kernels). Emits (kind=0) partial sums + one (kind=1) lineage/metrics row."""
+
+def _load_shard(path: str):
+    ent = _SHARD_CACHE.pop(path, None)
+    if ent is None:
+        t = pq.read_table(path, columns=["src_idx", "dst_idx", "weight"])
+        src = t.column("src_idx").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        dst = t.column("dst_idx").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        lo = int(dst.min()) if len(dst) else 0
+        ent = (src, dst - lo, w, lo)
+    _SHARD_CACHE[path] = ent  # re-insert = move to MRU
+    while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
+        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    return ent
+
+
+def shard_partials(path: str, rank: np.ndarray):
+    """One shard's SpMV partial sums: gather rank[src]·w, reduce by dst.
+    Dense bincount over the shard's contiguous dst range (range-bucketed
+    shards); sparse np.unique fallback for salted hub slices that span far
+    ids. The analogue of kernels/pr_custom_matrix_in.cl:141-151."""
+    src, dst_rel, w, lo = _load_shard(path)
+    contrib = rank[src] * w
+    rng = int(dst_rel.max()) + 1 if len(dst_rel) else 0
+    if rng <= max(4 * len(dst_rel), 1024):
+        sums = np.bincount(dst_rel, weights=contrib)
+        nz = np.nonzero(sums)[0]
+        return nz + lo, sums[nz], len(src)
+    u, inv = np.unique(dst_rel, return_inverse=True)
+    s = np.bincount(inv, weights=contrib)
+    return u + lo, s, len(src)
+
+
+def _make_step(rank_path: str):
+    """Arrow kernel: rows are (part, path) shard descriptors. The rank
+    vector is read from ``rank_path`` (rewritten atomically by the driver
+    each iteration — the MPI_Allgatherv stand-in; one plan object serves
+    every iteration). Emits (kind=0) partial sums + one (kind=1)
+    lineage/metrics row per shard."""
 
     def step(batches):
-        rank = bc_rank.value
-        t0 = time.monotonic()
-        us: list[np.ndarray] = []
-        ss: list[np.ndarray] = []
-        nnz = 0
+        rank = np.load(rank_path)
         for b in batches:
-            src = b.column("src_idx").to_numpy(zero_copy_only=False)
-            dst = b.column("dst_idx").to_numpy(zero_copy_only=False)
-            w = b.column("weight").to_numpy(zero_copy_only=False)
-            contrib = rank[src] * w
-            u, inv = np.unique(dst, return_inverse=True)
-            us.append(u)
-            ss.append(np.bincount(inv, weights=contrib))
-            nnz += len(src)
-        if us:
-            u_all = np.concatenate(us)
-            s_all = np.concatenate(ss)
-            u, inv = np.unique(u_all, return_inverse=True)
-            s = np.bincount(inv, weights=s_all)
-        else:
-            u = np.empty(0, dtype=np.int64)
-            s = np.empty(0, dtype=np.float64)
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        wall_ms = (time.monotonic() - t0) * 1e3
-        k = len(u)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(np.concatenate([np.zeros(k, np.int32), np.array([1], np.int32)])),
-                pa.array(np.concatenate([u.astype(np.int64), np.array([-1], np.int64)])),
-                pa.array(np.concatenate([s, np.array([0.0])])),
-                pa.array(np.full(k + 1, pid, np.int32)),
-                pa.array(np.concatenate([np.zeros(k, np.int64), np.array([nnz], np.int64)])),
-                pa.array(np.concatenate([np.zeros(k, np.int64), np.array([k], np.int64)])),
-                pa.array(np.concatenate([np.zeros(k), np.array([wall_ms])])),
-            ],
-            names=["kind", "idx", "contrib", "part_id", "nnz", "rows", "wall_ms"],
-        )
+            parts = b.column("part").to_pylist()
+            paths = b.column("path").to_pylist()
+            for part, path in zip(parts, paths):
+                t0 = time.monotonic()
+                u, s, nnz = shard_partials(path, rank)
+                wall_ms = (time.monotonic() - t0) * 1e3
+                k = len(u)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate([np.zeros(k, np.int32), np.array([1], np.int32)])),
+                        pa.array(np.concatenate([u.astype(np.int64), np.array([-1], np.int64)])),
+                        pa.array(np.concatenate([s, np.array([0.0])])),
+                        pa.array(np.full(k + 1, part, np.int32)),
+                        pa.array(np.concatenate([np.zeros(k, np.int64), np.array([nnz], np.int64)])),
+                        pa.array(np.concatenate([np.zeros(k, np.int64), np.array([k], np.int64)])),
+                        pa.array(np.concatenate([np.zeros(k), np.array([wall_ms])])),
+                    ],
+                    names=["kind", "idx", "contrib", "part_id", "nnz", "rows", "wall_ms"],
+                )
 
     return step
 
 
 @dataclass
 class ShardedGraph:
-    """Persisted, indexed, edge-balanced + hub-salted shards ready to iterate."""
+    """Edge-balanced + hub-salted shard files ready to iterate."""
 
     spark: SparkSession
-    shards: DataFrame  # [src_idx, dst_idx, weight] repartitioned & cached
+    shard_df: DataFrame  # [part: int, path: string] — local relation, persisted
+    shard_dir: str
     node_ids: np.ndarray  # sorted long[n]; idx = position (driver copy)
     dangling_mask: np.ndarray  # bool[n]
     n: int
@@ -137,6 +214,8 @@ class ShardedGraph:
     num_shards: int
     hub_count: int
     hub_threshold: int
+    _owns_dir: bool = True
+    _step_df: DataFrame | None = None
 
     @staticmethod
     def build(
@@ -144,94 +223,132 @@ class ShardedGraph:
         num_shards: int | None = None,
         hub_salt_factor: float = 1.0,
         buckets_per_shard: int = 2,
+        shard_dir: str | None = None,
     ) -> "ShardedGraph":
-        """One-time build (3 shuffles): index vertices, weight+index edges,
-        bucket by edge-balanced dst ranges with hub salting, cache."""
+        """One-time build: index vertices, plan buckets/salts on the n-row
+        degree table, weight+index edges, write one parquet dir per shard.
+        ``shard_dir`` defaults to a local temp dir (on a cluster: a DFS
+        path). Exactly two O(m) aggregations + one O(m) write pipeline."""
         spark = edges.sparkSession
+        owns = shard_dir is None
+        shard_dir = shard_dir or tempfile.mkdtemp(prefix="lg_shards_")
 
-        # 1) dense vertex index: sorted node ids -> idx = row position.
-        #    zipWithIndex is the distributed densification (the reference does
-        #    this with a driver dict, py_src/prepare_graph.py:15-23).
-        verts = vertices(edges)
-        mapping_rdd = verts.orderBy("node").rdd.map(lambda r: r[0]).zipWithIndex()
-        mapping = spark.createDataFrame(mapping_rdd, "node: long, idx: long").persist()
+        m = edges.count()  # parquet metadata / cheap scan
+        num_shards = num_shards or tune_shuffle_partitions(spark, m)
+        n_buckets = num_shards * buckets_per_shard
+
+        # 1) degree tables (the reference scan's histograms,
+        #    helpers/file_helper.h:65-88) — the only O(m) aggregations
+        od = out_degrees(edges).persist()
+        idg = in_degrees(edges)
+
+        # 2) vertex set from the degree keys (avoids a 2m-row distinct),
+        #    dense index via distributed two-level prefix sums
+        verts = (
+            od.select("node").unionByName(idg.select("node")).distinct()
+        )
+        mapping = dense_index(verts, "node").persist()
         n = mapping.count()
         if n == 0:
             raise ValueError("ShardedGraph.build: empty graph")
 
-        # 2) weighted + indexed edges (loop-invariant gather hoisting, X1)
-        od = out_degrees(edges)
-        m = edges.count()
-        num_shards = num_shards or tune_shuffle_partitions(spark, m)
-        wedges = (
+        # 3) bucket/salt plan on the n-row degree table: exact edge-balanced
+        #    boundaries from the in-degree CDF (cum/in_deg ordered by idx —
+        #    the CSR rowptr prefix sum, pagerank_custom.h:128-134), hub split
+        #    where in_deg > threshold (JDS precedent, mtx_hybrid.h:39-221)
+        hub_threshold = max(1, int(hub_salt_factor * m / num_shards))
+        deg_idx = mapping.join(idg, "node", "left").select(
+            "idx", F.coalesce("in_deg", F.lit(0)).alias("in_deg")
+        )
+        per_bucket = max(1, math.ceil(m / n_buckets))
+        cdf = _two_level_offsets(deg_idx, "idx")  # ordered by idx
+        wcum = Window.partitionBy(F.lit(0)).orderBy("_pos").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        # exclusive CDF of in-degree => bucket = floor(cdf / per_bucket)
+        # (single-partition window over the n-row table is acceptable to
+        # n~10^7; beyond that reuse _two_level_offsets on a value prefix sum)
+        plan = cdf.select(
+            "idx",
+            "in_deg",
+            F.coalesce(F.sum("in_deg").over(wcum), F.lit(0)).alias("_cdf"),
+        ).select(
+            F.col("idx").alias("dst_idx"),
+            F.least(F.lit(n_buckets - 1), (F.col("_cdf") / per_bucket).cast("int")).alias(
+                "bucket"
+            ),
+            F.when(
+                F.col("in_deg") > hub_threshold,
+                # cap: splitting one hub beyond the shard count adds task
+                # overhead without adding parallelism (each salt is a task)
+                F.least(
+                    F.ceil(F.col("in_deg") / hub_threshold).cast("int"),
+                    F.lit(max(2, num_shards)),
+                ),
+            ).alias("salts"),
+        ).persist()
+
+        hubs = plan.filter(F.col("salts").isNotNull()).orderBy("dst_idx").collect()
+        hub_count = len(hubs)
+        salt_offsets = {}
+        off = n_buckets
+        for h in hubs:
+            salt_offsets[int(h["dst_idx"])] = off
+            off += int(h["salts"])
+        n_parts = off
+        if hub_count:
+            off_map = F.create_map(*[F.lit(x) for kv in salt_offsets.items() for x in kv])
+            part_expr = F.when(
+                F.col("salts").isNotNull(),
+                off_map[F.col("dst_idx")] + F.pmod(F.xxhash64("src_idx"), F.col("salts")),
+            ).otherwise(F.col("bucket"))
+        else:
+            part_expr = F.col("bucket")
+
+        # 4) the O(m) pipeline: weight (X1 gather hoisting) + index + part,
+        #    one shuffle into shard layout, one parquet dir per part id
+        (
             edges.join(od, edges.src == od.node, "inner")
             .select("src", "dst", (F.lit(1.0) / F.col("out_deg").cast("double")).alias("weight"))
             .join(mapping.select(F.col("node").alias("src"), F.col("idx").alias("src_idx")), "src")
             .join(mapping.select(F.col("node").alias("dst"), F.col("idx").alias("dst_idx")), "dst")
-            .select("src_idx", "dst_idx", "weight")
+            .join(plan.select("dst_idx", "bucket", "salts"), "dst_idx")
+            .withColumn("part", part_expr.cast("int"))
+            .select("src_idx", "dst_idx", "weight", "part")
+            .repartition(n_parts, "part")
+            .write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(shard_dir)
         )
-
-        # 3) edge-balanced dst buckets: quantiles of dst_idx over EDGES weight
-        #    each vertex by its in-degree — the degree-CDF partitioning of
-        #    main_mpi.c:88-108 without collecting the CDF.
-        n_buckets = num_shards * buckets_per_shard
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = wedges.stat.approxQuantile("dst_idx", probs, 0.01) if n_buckets > 1 else []
-        bounds_arr = F.array(*[F.lit(int(b)) for b in bounds])
-        bucket = F.size(F.filter(bounds_arr, lambda b: b <= F.col("dst_idx")))
-
-        # 4) hub split (X3): in-degree above threshold -> salt in-edges across
-        #    `salts` dedicated bucket ids so no single task owns a hub row.
-        hub_threshold = max(1, int(hub_salt_factor * m / num_shards))
-        in_deg = wedges.groupBy("dst_idx").agg(F.count("*").alias("in_deg"))
-        hubs = in_deg.filter(F.col("in_deg") > hub_threshold).collect()
-        hub_count = len(hubs)
-        if hub_count:
-            hub_salts = {
-                int(h["dst_idx"]): int(math.ceil(h["in_deg"] / hub_threshold)) for h in hubs
-            }
-            salt_map = F.create_map(
-                *[F.lit(x) for kv in hub_salts.items() for x in kv]
-            )
-            offsets = {}
-            off = n_buckets
-            for h, s in sorted(hub_salts.items()):
-                offsets[h] = off
-                off += s
-            offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-            salted = offset_map[F.col("dst_idx")] + F.pmod(
-                F.xxhash64("src_idx"), salt_map[F.col("dst_idx")]
-            )
-            part = F.when(salt_map[F.col("dst_idx")].isNotNull(), salted).otherwise(bucket)
-        else:
-            part = bucket
-
-        shards = (
-            wedges.withColumn("part", part.cast("int"))
-            .repartition(num_shards, "part")
-            .select("src_idx", "dst_idx", "weight")
+        part_dirs = sorted(
+            (int(d.split("=")[1]), os.path.join(shard_dir, d))
+            for d in os.listdir(shard_dir)
+            if d.startswith("part=")
+        )
+        # local relation (not an RDD-backed DF): feeding a handful of path
+        # rows per iteration must not spin up the Python-RDD machinery
+        shard_df = (
+            spark.createDataFrame(part_dirs, "part int, path string")
+            .repartitionByRange(len(part_dirs), "part")
             .persist()
         )
-        shards.count()  # materialize
+        shard_df.count()
 
         # driver-side vertex state (same envelope as the MPI design's
         # per-rank dense vector): sorted node ids + dangling mask
         mp = mapping.orderBy("idx").toPandas()
         node_ids = mp["node"].to_numpy()
-        src_nodes = {r["node"] for r in od.select("node").collect()} if n < 5_000_000 else None
-        if src_nodes is not None:
-            dangling_mask = np.array([nid not in src_nodes for nid in node_ids])
-        else:
-            dang = (
-                mapping.join(od.select("node"), "node", "left_anti").select("idx").toPandas()
-            )
-            dangling_mask = np.zeros(n, dtype=bool)
-            dangling_mask[dang["idx"].to_numpy()] = True
+        dang = mapping.join(od.select("node"), "node", "left_anti").select("idx").toPandas()
+        dangling_mask = np.zeros(n, dtype=bool)
+        dangling_mask[dang["idx"].to_numpy()] = True
+        od.unpersist()
+        plan.unpersist()
         mapping.unpersist()
 
         return ShardedGraph(
             spark=spark,
-            shards=shards,
+            shard_df=shard_df,
+            shard_dir=shard_dir,
             node_ids=node_ids,
             dangling_mask=dangling_mask,
             n=n,
@@ -239,16 +356,30 @@ class ShardedGraph:
             num_shards=num_shards,
             hub_count=hub_count,
             hub_threshold=hub_threshold,
+            _owns_dir=owns,
         )
+
+    @property
+    def rank_path(self) -> str:
+        return os.path.join(self.shard_dir, "rank.npy")
+
+    def _publish_rank(self, rank: np.ndarray) -> None:
+        """Atomically publish the iteration's rank vector for executors
+        (tmp write + rename; the Allgatherv stand-in — on a cluster this
+        file lives on shared storage or becomes a broadcast)."""
+        tmp = self.rank_path + ".tmp.npy"
+        np.save(tmp, rank)
+        os.replace(tmp, self.rank_path)
 
     def spmv_partials(self, rank: np.ndarray):
         """One distributed SpMV pass: returns (idx, partial_contrib,
-        per-partition metrics pandas DF). The only Spark action per iteration."""
-        bc = self.spark.sparkContext.broadcast(rank)
-        try:
-            pdf = self.shards.mapInArrow(_make_step(bc), _STEP_SCHEMA).toPandas()
-        finally:
-            bc.destroy()
+        per-partition metrics pandas DF). The only Spark action per
+        iteration; ships O(n) down (rank file) and O(n) up (partials).
+        The mapInArrow plan is created once and re-executed per call."""
+        self._publish_rank(rank)
+        if self._step_df is None:
+            self._step_df = self.shard_df.mapInArrow(_make_step(self.rank_path), _STEP_SCHEMA)
+        pdf = self._step_df.toPandas()
         contribs = pdf[pdf["kind"] == 0]
         metrics = pdf[pdf["kind"] == 1][["part_id", "nnz", "rows", "wall_ms"]]
         return (
@@ -258,4 +389,6 @@ class ShardedGraph:
         )
 
     def unpersist(self):
-        self.shards.unpersist()
+        self.shard_df.unpersist()
+        if self._owns_dir:
+            shutil.rmtree(self.shard_dir, ignore_errors=True)
