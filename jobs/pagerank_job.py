@@ -115,6 +115,10 @@ def main(argv: list[str] | None = None) -> dict:
     if args.output:
         res.ranks.write.mode("overwrite").parquet(args.output)
 
+    # iterate_sec: sum of per-iteration wall (excludes one-time stage/worker
+    # startup — the reference reports per-iteration averages the same way,
+    # pagerank_custom.h:279-283)
+    iterate_sec = sum(mm["wall_ms"] for mm in res.iter_metrics) / 1e3
     out = {
         "edges": m,
         "vertices": res.ranks.count(),
@@ -122,9 +126,11 @@ def main(argv: list[str] | None = None) -> dict:
         "converged": res.converged,
         "final_norm": res.norm,
         "wall_sec": round(wall, 3),
+        "iterate_sec": round(iterate_sec, 3),
         "build_sec": round(build_sec, 3),
         "ingest_sec": round(ingest_sec, 3),
         "edges_per_sec": round(m * res.iterations / wall, 1),
+        "edges_per_sec_iterate": round(m * res.iterations / max(iterate_sec, 1e-9), 1),
         "parallelism": spark.sparkContext.defaultParallelism,
         "master": spark.sparkContext.master,
         "strategy": args.strategy,

@@ -11,45 +11,54 @@ mpirun gang-starts W ranks                  | one barrier() stage of P tasks
                                             | pattern: barrier for rendezvous,
                                             | framework-owned data plane)
 CSR block scattered once, resident per rank | shard parquet files read once per
-(main_mpi.c:122-126)                        | task, resident numpy arrays
-rank 0 computes dangling base, broadcasts   | task 0 combines partials, applies
-(pagerank_custom_mpi.h:41-50)               | base+damping+norm, sends new rank
-MPI_Allgatherv dense vector each iteration  | task0->all rank vector over TCP
-(pagerank_custom_mpi.h:62-63)               | (star allreduce on raw sockets)
-MPI_Reduce of the norm; rank 0 decides stop | task 0 computes L2 norm, sends
-and broadcasts `done` (:65-76)              | continue/stop flag with the rank
+(main_mpi.c:122-126)                        | task, resident numpy CSR arrays
+contiguous node blocks per rank             | each task OWNS a contiguous
+(main_mpi.c:88-108)                         | vertex segment [n·p/P, n·(p+1)/P)
+                                            | of the rank vector
+per-rank partial SpMV + OpenMP              | per-task numpy CSR kernel
+(pagerank_custom_mpi.h:53-60)               | (plans/shards.py csr_partials)
+MPI_Allgatherv re-materializes the dense    | two full-mesh TCP rounds per
+vector on every rank every iteration        | iteration: (1) partial sums
+(pagerank_custom_mpi.h:62-63)               | routed to their segment OWNER,
+                                            | (2) updated segments allgathered
+                                            | — O(n/P) per link, all links in
+                                            | parallel (the star variant's
+                                            | O(n·P) fan-out from task 0 was
+                                            | measured serial-bottlenecked)
+MPI_Reduce of the norm; rank 0 decides      | per-segment δ² piggybacks on the
+stop and broadcasts done (:65-76)           | segment messages; every task sums
+                                            | them and decides IDENTICALLY
+                                            | (same floats, same order)
 
 Why not per-iteration Spark jobs here: a driver-synchronized loop pays task
 dispatch + result collection (~0.2-0.5 s) every iteration, which caps
 scaling efficiency once the numpy kernel drops below ~1 s/iteration; and
 BarrierTaskContext.allGather has a ~1 s sync floor, so it is used ONCE for
-endpoint rendezvous, never in the loop. The socket star moves
-O(n + Σ partials) bytes per iteration at loopback/NIC speed with ~ms
-latency, so per-iteration overhead is negligible and throughput scales with
-cores — the property the north rule's >=0.8 efficiency at N->4N demands.
+endpoint rendezvous, never in the loop.
 
 Trade-off vs the driver-loop paths (kept, see operators/pagerank.py):
 barrier mode needs all P slots simultaneously (gang scheduling) and retries
 the whole stage on task loss, resuming from the last checkpoint; the
 driver-loop paths reschedule per iteration and tolerate executor churn.
 
-Checkpointing: task 0 writes rank snapshots + per-partition lineage/metrics
-in the exact ParquetManifestStore layout (checkpoint.py) via pyarrow —
-manifest-committed per iteration, resumable mid-convergence (north rule).
+Checkpointing: task 0 (which holds the full assembled vector after round 2)
+writes rank snapshots + per-partition lineage/metrics in the exact
+ParquetManifestStore layout (checkpoint.py) via pyarrow — manifest-committed
+per checkpoint interval, resumable mid-convergence (north rule).
 """
 
 from __future__ import annotations
 
-import math
 import os
 import pickle
 import socket
 import struct
+import threading
 import time
 
 import numpy as np
 
-from linkgraph.plans.shards import ShardedGraph
+from linkgraph.plans.shards import ShardedGraph, csr_partials, load_csr_shard
 
 _MSG_LIMIT = 1 << 34
 
@@ -99,47 +108,63 @@ def _assign_shards(part_dirs: list[tuple[int, str]], num_tasks: int) -> list[lis
     return bins
 
 
-def _load_task_shards(assigned: list[tuple[int, str]]):
-    import pyarrow.parquet as pq
+class _Mesh:
+    """Full-mesh peer connections among the P barrier tasks, established via
+    one allGather of listening endpoints (the only use of Spark's barrier
+    sync — it has a ~1 s floor, so the loop never touches it)."""
 
-    shards = []
-    for part, path in assigned:
-        t = pq.read_table(path, columns=["src_idx", "dst_idx", "weight"])
-        src = t.column("src_idx").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        dst = t.column("dst_idx").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        lo = int(dst.min()) if len(dst) else 0
-        shards.append((part, src, dst - lo, w, lo))
-    return shards
+    def __init__(self, ctx, pid: int, P: int):
+        self.pid = pid
+        self.P = P
+        self.conns: dict[int, socket.socket] = {}
+        self._server = None
+        if P == 1:
+            return
+        host = socket.gethostbyname(socket.gethostname())
+        self._server = socket.create_server(("", 0))
+        self._server.settimeout(600)
+        port = self._server.getsockname()[1]
+        addrs = ctx.allGather(f"{host}:{port}")
+        # connect to lower pids; accept from higher pids
+        for q in range(pid):
+            h, p = addrs[q].rsplit(":", 1)
+            s = socket.create_connection((h, int(p)), timeout=600)
+            s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            _send_msg(s, {"pid": pid})
+            self.conns[q] = s
+        while len(self.conns) < P - 1:
+            c, _ = self._server.accept()
+            c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            hello = _recv_msg(c)
+            self.conns[hello["pid"]] = c
 
+    def exchange(self, outgoing: dict[int, object]):
+        """Send outgoing[q] to each peer q; receive one message from every
+        peer. Sender runs in a thread so all links drain in parallel
+        (blocking both directions on one thread can deadlock once TCP
+        buffers fill). Returns {q: message}."""
+        if self.P == 1:
+            return {}
+        payloads = {
+            q: pickle.dumps(outgoing[q], protocol=pickle.HIGHEST_PROTOCOL)
+            for q in self.conns
+        }
 
-def _task_partials(shards, rank: np.ndarray, d: float):
-    """Per-task SpMV partials: one bincount per shard over its dst range
-    (the scatter side of kernels/pr_custom_matrix_in.cl:141-151)."""
-    idxs, vals, metrics = [], [], []
-    for part, src, dst_rel, w, lo in shards:
-        t0 = time.monotonic()
-        rng = int(dst_rel.max()) + 1 if len(dst_rel) else 0
-        contrib = rank[src] * w
-        if rng <= max(4 * len(dst_rel), 1024):
-            sums = np.bincount(dst_rel, weights=contrib)
-            nz = np.nonzero(sums)[0]
-            idxs.append(nz + lo)
-            vals.append(sums[nz])
-            k = len(nz)
-        else:
-            u, inv = np.unique(dst_rel, return_inverse=True)
-            s = np.bincount(inv, weights=contrib)
-            idxs.append(u + lo)
-            vals.append(s)
-            k = len(u)
-        metrics.append(
-            {"part_id": part, "nnz": len(src), "rows": k,
-             "wall_ms": (time.monotonic() - t0) * 1e3}
-        )
-    if idxs:
-        return np.concatenate(idxs), np.concatenate(vals), metrics
-    return np.empty(0, np.int64), np.empty(0, np.float64), metrics
+        def _send_all():
+            for q, data in payloads.items():
+                self.conns[q].sendall(struct.pack("<Q", len(data)) + data)
+
+        t = threading.Thread(target=_send_all)
+        t.start()
+        got = {q: _recv_msg(self.conns[q]) for q in self.conns}
+        t.join()
+        return got
+
+    def close(self):
+        for c in self.conns.values():
+            c.close()
+        if self._server is not None:
+            self._server.close()
 
 
 def pagerank_barrier(
@@ -153,6 +178,7 @@ def pagerank_barrier(
     store=None,
     run_id: str | None = None,
     sharded_graph: ShardedGraph | None = None,
+    checkpoint_interval: int = 1,
 ):
     """Family-A PageRank (semantics of operators/pagerank.py, SURVEY §2.8)
     with the entire iteration loop inside one barrier stage. Returns a
@@ -165,12 +191,13 @@ def pagerank_barrier(
     g = sharded_graph or ShardedGraph.build(edges, num_shards=num_shards)
     spark = g.spark
     sc = spark.sparkContext
-    n, node_ids, dangling = g.n, g.node_ids, g.dangling_mask
+    n, node_ids = g.n, g.node_ids
     P = num_tasks or sc.defaultParallelism
-
     part_dirs = [(r["part"], r["path"]) for r in g.shard_df.collect()]
     P = max(1, min(P, max(1, len(part_dirs))))
     bins = _assign_shards(part_dirs, P)
+    # contiguous vertex segments, one owner task each (main_mpi.c:88-108)
+    seg_bounds = np.linspace(0, n, P + 1).astype(np.int64)
 
     start_iter = 0
     rank0 = np.full(n, 1.0 / n, dtype=np.float64)
@@ -182,7 +209,8 @@ def pagerank_barrier(
         rank0[idx] = snap["rank"].to_numpy()
 
     ckpt_root = store.root if store is not None and run_id is not None else None
-    bc = sc.broadcast((rank0, dangling, node_ids if ckpt_root else None))
+    dangling_idx = np.flatnonzero(g.dangling_mask)
+    bc = sc.broadcast((rank0, dangling_idx, g.inv_od, node_ids if ckpt_root else None))
     tasks = list(enumerate(bins))  # (task_id, assigned shard dirs)
 
     def run(it_rows):
@@ -192,36 +220,20 @@ def pagerank_barrier(
         pid = ctx.partitionId()
         rows = list(it_rows)
         assigned = rows[0][1] if rows else []
-        shards = _load_task_shards(assigned)
-        rank_init, dangling_mask, ids = bc.value
+        shards = [(part, load_csr_shard(path)) for part, path in assigned]
+        rank_init, dang_idx, inv_od, ids = bc.value
         rank = rank_init.copy()
+        lo, hi = int(seg_bounds[pid]), int(seg_bounds[pid + 1])
 
-        # --- rendezvous: ONE allGather to exchange task-0's endpoint ---
-        host = socket.gethostbyname(socket.gethostname())
-        server = conns = peer = None
-        if pid == 0 and P > 1:
-            server = socket.create_server(("", 0))
-            server.settimeout(600)
-            port = server.getsockname()[1]
-            addrs = ctx.allGather(f"{host}:{port}")
-        elif P > 1:
-            addrs = ctx.allGather("")
+        # static owner routing: each shard's uniq-dst array is sorted, so
+        # the slice owned by task q is one searchsorted range — computed once
+        shard_routes = []
+        for part, (src_s, uniq, starts) in shards:
+            cuts = np.searchsorted(uniq, seg_bounds)
+            shard_routes.append(cuts)
+
+        mesh = _Mesh(ctx, pid, P)
         try:
-            if P > 1:
-                if pid == 0:
-                    conns = {}
-                    while len(conns) < P - 1:
-                        c, _ = server.accept()
-                        c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-                        hello = _recv_msg(c)
-                        conns[hello["pid"]] = c
-                else:
-                    h, p = addrs[0].rsplit(":", 1)
-                    peer = socket.create_connection((h, int(p)), timeout=600)
-                    peer.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-                    _send_msg(peer, {"pid": pid})
-
-            # --- the loop: reference MPI iteration, sockets for Allgather ---
             my_metrics: list[dict] = []
             iter_log: list[dict] = []
             it = start_iter
@@ -229,57 +241,91 @@ def pagerank_barrier(
             converged = False
             for it in range(start_iter + 1, max_iter + 1):
                 t0 = time.monotonic()
-                idx, val, pmet = _task_partials(shards, rank, d)
+                # (1) local SpMV partials per shard (shared CSR kernel)
+                w_rank = rank * inv_od
+                pmet = []
+                per_shard = []
+                for (part, shard) in shards:
+                    tk = time.monotonic()
+                    u, s, nnz = csr_partials(shard, w_rank)
+                    per_shard.append((u, s))
+                    pmet.append(
+                        {"part_id": part, "nnz": nnz, "rows": len(u),
+                         "wall_ms": (time.monotonic() - tk) * 1e3}
+                    )
+                t_kernel = time.monotonic()
+
+                # (2) route partial slices to their segment owners (mesh
+                # round 1 — the scatter half of Allgatherv)
+                outgoing = {}
+                for q in range(P):
+                    if q == pid:
+                        continue
+                    pieces = [
+                        (u[c[q]:c[q + 1]], s[c[q]:c[q + 1]])
+                        for (u, s), c in zip(per_shard, shard_routes)
+                        if c[q + 1] > c[q]
+                    ]
+                    outgoing[q] = pieces
+                mine = [
+                    (u[c[pid]:c[pid + 1]], s[c[pid]:c[pid + 1]])
+                    for (u, s), c in zip(per_shard, shard_routes)
+                    if c[pid + 1] > c[pid]
+                ]
+                received = mesh.exchange(outgoing)
+                for q in sorted(received):  # deterministic combine order
+                    mine.extend(received[q])
+                t_route = time.monotonic()
+
+                # (3) owner update of [lo, hi): base + d·contrib, δ² local.
+                # leaked is computed from the full OLD rank every task holds
+                # — same floats everywhere, so the stop decision is identical
+                leaked = float(rank[dang_idx].sum())
+                base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+                seg = np.full(hi - lo, base, dtype=np.float64)
+                if mine:
+                    all_u = np.concatenate([u for u, _ in mine])
+                    all_s = np.concatenate([s for _, s in mine])
+                    seg += d * np.bincount(all_u - lo, weights=all_s, minlength=hi - lo)
+                dsq = float(((seg - rank[lo:hi]) ** 2).sum())
+
+                # (4) allgather segments (mesh round 2) — every task
+                # re-materializes the full vector, as the reference's
+                # Allgatherv does (pagerank_custom_mpi.h:62-63); per-shard
+                # lineage metrics piggyback so task 0 logs ALL partitions
+                segs = mesh.exchange({q: (seg, dsq, pmet) for q in range(P) if q != pid})
+                new = np.empty(n, dtype=np.float64)
+                new[lo:hi] = seg
+                nsq = dsq
+                all_met = list(pmet)
+                for q in sorted(segs):
+                    qseg, qdsq, qmet = segs[q]
+                    new[int(seg_bounds[q]):int(seg_bounds[q + 1])] = qseg
+                    nsq += qdsq
+                    all_met.extend(qmet)
+                rank = new
+                norm = float(np.sqrt(nsq))
+                converged = bool(check_convergence and norm <= eps)
+                done = converged or it >= max_iter
+                my_metrics.extend(pmet)
                 if pid == 0:
-                    # gather (sorted by pid => deterministic combine order)
-                    parts = {0: (idx, val, pmet)}
-                    if conns:
-                        for q in sorted(conns):
-                            m = _recv_msg(conns[q])
-                            parts[q] = (m["idx"], m["val"], m["met"])
-                    leaked = float(rank[dangling_mask].sum())
-                    base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
-                    # deterministic combine order (sorted pid), one dense
-                    # bincount (np.add.at is ~20× slower per element)
-                    all_idx = np.concatenate([parts[q][0] for q in sorted(parts)])
-                    all_val = np.concatenate([parts[q][1] for q in sorted(parts)])
-                    new = np.full(n, base, dtype=np.float64)
-                    new += d * np.bincount(all_idx, weights=all_val, minlength=n)
-                    norm = float(np.sqrt(((new - rank) ** 2).sum()))
-                    converged = bool(check_convergence and norm <= eps)
-                    done = converged or it >= max_iter
-                    rank = new
-                    all_met = [mm for q in sorted(parts) for mm in parts[q][2]]
                     iter_log.append(
                         {"iteration": it, "norm": norm, "mass": float(rank.sum()),
                          "wall_ms": (time.monotonic() - t0) * 1e3,
+                         "kernel_ms": (t_kernel - t0) * 1e3,
+                         "route_ms": (t_route - t_kernel) * 1e3,
                          "partitions": len(all_met),
                          "nnz": int(sum(mm["nnz"] for mm in all_met))}
                     )
-                    if ckpt_root is not None:
+                    if ckpt_root is not None and (
+                        done or it % checkpoint_interval == 0
+                    ):
                         from linkgraph.checkpoint import write_iteration_arrays
 
                         write_iteration_arrays(
                             ckpt_root, run_id, it, ids, rank, iter_log[-1],
                             [{"iteration": it, **mm} for mm in all_met],
                         )
-                    if conns:
-                        # serialize once, fan out to all peers
-                        data = pickle.dumps(
-                            {"rank": rank, "done": done, "norm": norm},
-                            protocol=pickle.HIGHEST_PROTOCOL,
-                        )
-                        framed = struct.pack("<Q", len(data)) + data
-                        for q in conns:
-                            conns[q].sendall(framed)
-                else:
-                    _send_msg(peer, {"idx": idx, "val": val, "met": pmet})
-                    m = _recv_msg(peer)
-                    rank = m["rank"]
-                    norm = m["norm"]
-                    done = m["done"]
-                    converged = bool(check_convergence and norm <= eps)
-                my_metrics.extend(pmet)
                 if done:
                     break
 
@@ -288,17 +334,11 @@ def pagerank_barrier(
                        "norm": norm, "converged": converged, "iter_log": iter_log}
             yield {"kind": "task", "pid": pid, "metrics": my_metrics}
         finally:
-            for s in (peer, server):
-                if s is not None:
-                    s.close()
-            if conns:
-                for c in conns.values():
-                    c.close()
+            mesh.close()
 
     out = sc.parallelize(tasks, P).barrier().mapPartitions(run).collect()
     bc.destroy()
     res = next(o for o in out if o["kind"] == "result")
-
     ranks_df = spark.createDataFrame(
         pd.DataFrame({"node": node_ids, "rank": res["rank"]})
     )

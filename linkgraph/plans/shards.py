@@ -128,46 +128,75 @@ _STEP_SCHEMA = (
     "kind int, idx long, contrib double, part_id int, nnz long, rows long, wall_ms double"
 )
 
-# Worker-process shard cache: {shard_path: (src_idx, dst_idx, weight, lo)}.
+# Worker-process shard cache: {shard_path: (src_idx, dst_rel, lo)}.
 # Lives across iterations because Spark reuses Python workers; keys are
 # unique per build (fresh temp dir), so no staleness. Bounded LRU.
+# Shards carry NO per-edge weight: weight = 1/outdeg(src) is a function of
+# src, kept as one n-sized float64 array per task (see _load_inv_od) — this
+# cuts the per-edge memory stream from 24 B to 8 B (int32 src + int32 dst),
+# which is what the aggregate SpMV throughput is bound by at high core
+# counts. Float math is bit-identical: 1/outdeg is computed once either way.
 _SHARD_CACHE: dict[str, tuple] = {}
 _SHARD_CACHE_MAX = 8
+_INV_CACHE: dict[str, np.ndarray] = {}
+
+
+def load_csr_shard(path: str):
+    """Decode one shard to its iteration-ready CSR form: src sorted by dst,
+    plus the STATIC dst segment index (unique dst values + their start
+    offsets — the CSR rowptr, pagerank_custom.h:128-134, built once). Per
+    iteration only src (int32) and the contrib vector are streamed; dst
+    never touches memory again."""
+    t = pq.read_table(path, columns=["src_idx", "dst_idx"])
+    src = t.column("src_idx").to_numpy(zero_copy_only=False)
+    dst = t.column("dst_idx").to_numpy(zero_copy_only=False)
+    if len(dst) == 0:
+        return src, np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.argsort(dst, kind="stable")
+    src_s = np.ascontiguousarray(src[order])
+    dst_s = dst[order]
+    starts = np.flatnonzero(np.r_[True, np.diff(dst_s) != 0])
+    uniq = dst_s[starts].astype(np.int64)
+    return src_s, uniq, starts
 
 
 def _load_shard(path: str):
     ent = _SHARD_CACHE.pop(path, None)
     if ent is None:
-        t = pq.read_table(path, columns=["src_idx", "dst_idx", "weight"])
-        src = t.column("src_idx").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        dst = t.column("dst_idx").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        lo = int(dst.min()) if len(dst) else 0
-        ent = (src, dst - lo, w, lo)
+        ent = load_csr_shard(path)
     _SHARD_CACHE[path] = ent  # re-insert = move to MRU
     while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
         _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
     return ent
 
 
-def shard_partials(path: str, rank: np.ndarray):
-    """One shard's SpMV partial sums: gather rank[src]·w, reduce by dst.
-    Dense bincount over the shard's contiguous dst range (range-bucketed
-    shards); sparse np.unique fallback for salted hub slices that span far
-    ids. The analogue of kernels/pr_custom_matrix_in.cl:141-151."""
-    src, dst_rel, w, lo = _load_shard(path)
-    contrib = rank[src] * w
-    rng = int(dst_rel.max()) + 1 if len(dst_rel) else 0
-    if rng <= max(4 * len(dst_rel), 1024):
-        sums = np.bincount(dst_rel, weights=contrib)
-        nz = np.nonzero(sums)[0]
-        return nz + lo, sums[nz], len(src)
-    u, inv = np.unique(dst_rel, return_inverse=True)
-    s = np.bincount(inv, weights=contrib)
-    return u + lo, s, len(src)
+def _load_inv_od(path: str) -> np.ndarray:
+    """Static per-build 1/outdeg array (the hoisted COO data[] of
+    readers/mtx_sparse.h:123-132) — cached forever per worker (unique path
+    per build)."""
+    arr = _INV_CACHE.get(path)
+    if arr is None:
+        if len(_INV_CACHE) > 4:
+            _INV_CACHE.clear()
+        arr = _INV_CACHE[path] = np.load(path)
+    return arr
 
 
-def _make_step(rank_path: str):
+def csr_partials(shard, w_rank: np.ndarray):
+    """One shard's SpMV partial sums: single gather of the pre-divided
+    vector w_rank = rank/outdeg (n-sized multiply hoisted out of the m-sized
+    loop), then a segment reduce over the static CSR rowptr. The analogue of
+    kernels/pr_custom_matrix_in.cl:141-151, minimized to ~12 streamed bytes
+    per edge."""
+    src_s, uniq, starts = shard
+    if len(src_s) == 0:
+        return uniq, np.empty(0, np.float64), 0
+    contrib = w_rank[src_s]
+    sums = np.add.reduceat(contrib, starts)
+    return uniq, sums, len(src_s)
+
+
+def _make_step(rank_path: str, inv_od_path: str):
     """Arrow kernel: rows are (part, path) shard descriptors. The rank
     vector is read from ``rank_path`` (rewritten atomically by the driver
     each iteration — the MPI_Allgatherv stand-in; one plan object serves
@@ -176,12 +205,14 @@ def _make_step(rank_path: str):
 
     def step(batches):
         rank = np.load(rank_path)
+        inv_od = _load_inv_od(inv_od_path)
+        w_rank = rank * inv_od  # n ops once per task, not per edge
         for b in batches:
             parts = b.column("part").to_pylist()
             paths = b.column("path").to_pylist()
             for part, path in zip(parts, paths):
                 t0 = time.monotonic()
-                u, s, nnz = shard_partials(path, rank)
+                u, s, nnz = csr_partials(_load_shard(path), w_rank)
                 wall_ms = (time.monotonic() - t0) * 1e3
                 k = len(u)
                 yield pa.RecordBatch.from_arrays(
@@ -209,6 +240,7 @@ class ShardedGraph:
     shard_dir: str
     node_ids: np.ndarray  # sorted long[n]; idx = position (driver copy)
     dangling_mask: np.ndarray  # bool[n]
+    inv_od: np.ndarray  # float64[n], 1/outdeg (0 for dangling)
     n: int
     m: int
     num_shards: int
@@ -305,16 +337,23 @@ class ShardedGraph:
         else:
             part_expr = F.col("bucket")
 
-        # 4) the O(m) pipeline: weight (X1 gather hoisting) + index + part,
-        #    one shuffle into shard layout, one parquet dir per part id
+        # 4) the O(m) pipeline: index + part assignment, one shuffle into
+        #    shard layout, one parquet dir per part id. No per-edge weight
+        #    column: 1/outdeg ships once as an n-array (X1 gather hoisting,
+        #    done n-sized instead of m-sized). int32 indices while n < 2^31
+        #    — halves the iteration memory stream.
+        idx_t = "int" if n < 2**31 else "long"
         (
-            edges.join(od, edges.src == od.node, "inner")
-            .select("src", "dst", (F.lit(1.0) / F.col("out_deg").cast("double")).alias("weight"))
+            edges.select("src", "dst")
             .join(mapping.select(F.col("node").alias("src"), F.col("idx").alias("src_idx")), "src")
             .join(mapping.select(F.col("node").alias("dst"), F.col("idx").alias("dst_idx")), "dst")
             .join(plan.select("dst_idx", "bucket", "salts"), "dst_idx")
             .withColumn("part", part_expr.cast("int"))
-            .select("src_idx", "dst_idx", "weight", "part")
+            .select(
+                F.col("src_idx").cast(idx_t).alias("src_idx"),
+                F.col("dst_idx").cast(idx_t).alias("dst_idx"),
+                "part",
+            )
             .repartition(n_parts, "part")
             .write.mode("overwrite")
             .partitionBy("part")
@@ -335,12 +374,19 @@ class ShardedGraph:
         shard_df.count()
 
         # driver-side vertex state (same envelope as the MPI design's
-        # per-rank dense vector): sorted node ids + dangling mask
-        mp = mapping.orderBy("idx").toPandas()
+        # per-rank dense vector): sorted node ids, out-degrees (-> 1/outdeg
+        # array + dangling mask — the leaves[] list of custom_matrix.h:40-59)
+        mp = (
+            mapping.join(od, "node", "left")
+            .select("idx", "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+            .orderBy("idx")
+            .toPandas()
+        )
         node_ids = mp["node"].to_numpy()
-        dang = mapping.join(od.select("node"), "node", "left_anti").select("idx").toPandas()
-        dangling_mask = np.zeros(n, dtype=bool)
-        dangling_mask[dang["idx"].to_numpy()] = True
+        out_deg = mp["out_deg"].to_numpy().astype(np.float64)
+        dangling_mask = out_deg == 0
+        inv_od = np.where(dangling_mask, 0.0, 1.0 / np.where(dangling_mask, 1.0, out_deg))
+        np.save(os.path.join(shard_dir, "inv_od.npy"), inv_od)
         od.unpersist()
         plan.unpersist()
         mapping.unpersist()
@@ -351,6 +397,7 @@ class ShardedGraph:
             shard_dir=shard_dir,
             node_ids=node_ids,
             dangling_mask=dangling_mask,
+            inv_od=inv_od,
             n=n,
             m=m,
             num_shards=num_shards,
@@ -378,7 +425,10 @@ class ShardedGraph:
         The mapInArrow plan is created once and re-executed per call."""
         self._publish_rank(rank)
         if self._step_df is None:
-            self._step_df = self.shard_df.mapInArrow(_make_step(self.rank_path), _STEP_SCHEMA)
+            self._step_df = self.shard_df.mapInArrow(
+                _make_step(self.rank_path, os.path.join(self.shard_dir, "inv_od.npy")),
+                _STEP_SCHEMA,
+            )
         pdf = self._step_df.toPandas()
         contribs = pdf[pdf["kind"] == 0]
         metrics = pdf[pdf["kind"] == 1][["part_id", "nnz", "rows", "wall_ms"]]
