@@ -293,6 +293,60 @@ def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def q_word_jaccard(spark, sf_dir):
+    """Exact 1-gram Jaccard for a candidate pair set (the verify stage after
+    LSH) — shingle-set joins, oracle-checked against DuckDB unnest."""
+    from linkgraph.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    ids = d.filter(F.col("doc_id") < 40).select(F.col("doc_id").alias("a"))
+    cand = (
+        ids.crossJoin(ids.select(F.col("a").alias("b")))
+        .filter(F.col("a") < F.col("b"))
+    )
+    return ngram_jaccard_pairs(d, cand, shingle_len=1).select(
+        "a", "b", F.round("jaccard", 8).alias("jac8")
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Multi-table sign-LSH approximate top-k (deterministic hyperplanes;
+    rows-only check — recall vs the exact oracle is pinned in tests/)."""
+    from linkgraph.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, q, k=5, bits=6, tables=8).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine6"), "rank"
+    )
+
+
+def q_resize_plan(spark, sf_dir):
+    """Multimodal resize bookkeeping (metadata-only pushdown — payload bytes
+    never move) over the documents-derived media view."""
+    from linkgraph.operators.multimodal import media_from_documents, resize_plan
+
+    return resize_plan(media_from_documents(_docs(spark, sf_dir)), target=224)
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled frame index."""
+    from linkgraph.operators.multimodal import frame_sample, media_from_documents
+
+    return frame_sample(media_from_documents(_docs(spark, sf_dir)), every_k=8)
+
+
+def q_decode_features(spark, sf_dir):
+    """Arrow-kernel decode/featurize over opaque binary payloads (the decode
+    itself is the deterministic stub — no media libs in this container;
+    rows-only check, numeric behavior pinned in tests/)."""
+    from linkgraph.operators.multimodal import decode_and_featurize, media_from_documents
+
+    return decode_and_featurize(media_from_documents(_docs(spark, sf_dir))).select(
+        "media_id", "kind", F.round("mean_px", 6).alias("mean_px6"), "n_bytes"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank over the event-derived graph at sf0.001,
     top-20 actors by rank."""
@@ -322,6 +376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
+        "word_jaccard": q_word_jaccard,
+        "lsh_topk": q_lsh_topk,
+        "resize_plan": q_resize_plan,
+        "frame_sample": q_frame_sample,
+        "decode_features": q_decode_features,
     }
 
 
@@ -484,6 +543,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             SELECT doc_id, md5({norm}) AS fp FROM documents
+        """,
+        "word_jaccard": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest(string_split({_DOC_NORM}, ' ')) AS tok
+              FROM documents WHERE doc_id < 40
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+            cand AS (
+              SELECT i1.doc_id AS a, i2.doc_id AS b FROM ids i1 JOIN ids i2
+              ON i1.doc_id < i2.doc_id
+            ),
+            inter AS (
+              SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS i
+              FROM toks ta JOIN toks tb USING (tok)
+              WHERE ta.doc_id < tb.doc_id
+              GROUP BY ta.doc_id, tb.doc_id
+            )
+            SELECT cand.a, cand.b,
+                   round(coalesce(inter.i, 0) * 1.0
+                         / (sa.sz + sb.sz - coalesce(inter.i, 0)), 8) AS jac8
+            FROM cand
+            LEFT JOIN inter ON cand.a = inter.a AND cand.b = inter.b
+            JOIN sizes sa ON sa.doc_id = cand.a
+            JOIN sizes sb ON sb.doc_id = cand.b
+        """,
+        "resize_plan": """
+            SELECT doc_id AS media_id,
+                   CAST(16 + n_chars % 64 AS INT) AS width,
+                   CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
+                   CAST(floor((16 + n_chars % 64) * (224.0 / least(16 + n_chars % 64, 16 + (doc_id * 7) % 48))) AS INT) AS out_width,
+                   CAST(floor((16 + (doc_id * 7) % 48) * (224.0 / least(16 + n_chars % 64, 16 + (doc_id * 7) % 48))) AS INT) AS out_height
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(generate_series(0, doc_id % 32, 8)) AS INT) AS frame_idx
+            FROM documents WHERE doc_id % 3 = 2
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -28,6 +28,8 @@ def run() -> dict:
     from linkgraph.session import get_spark
     from linkgraph.sources import derive_edges, generate_transcripts
     from linkgraph.operators.pagerank import pagerank_sharded
+    from linkgraph.plans.barrier import pagerank_barrier
+    from linkgraph.plans.shards import ShardedGraph
     import __spark_entry__ as entry_mod
 
     spark = get_spark(app_name="linkgraph-bench", master=f"local[{cpus}]")
@@ -41,13 +43,25 @@ def run() -> dict:
     gen_sec = time.monotonic() - t_gen0
 
     t0 = time.monotonic()
-    res = pagerank_sharded(edges, eps=1e-6, max_iter=200)
+    g = ShardedGraph.build(edges)
+    build_sec = time.monotonic() - t0
+
+    # barrier engine (gang loop, the headline number)
+    t0 = time.monotonic()
+    res = pagerank_barrier(sharded_graph=g, eps=1e-6, max_iter=200)
     pr_sec = time.monotonic() - t0
-    edges_per_sec = m * res.iterations / pr_sec
-    build_ms = res.iter_metrics[0]["wall_ms"] if res.iter_metrics else 0
+    iter_sec = sum(mm["wall_ms"] for mm in res.iter_metrics) / 1e3
+    edges_per_sec = m * res.iterations / max(iter_sec, 1e-9)
+
+    # driver-loop mapInArrow path (the north-star pandas/Arrow-UDF SpMV)
+    t0 = time.monotonic()
+    res_sh = pagerank_sharded(edges, eps=1e-6, max_iter=200, sharded_graph=g)
+    sharded_sec = time.monotonic() - t0
     per_iter_ms = (
-        sum(mm["wall_ms"] for mm in res.iter_metrics[1:]) / max(1, len(res.iter_metrics) - 1)
+        sum(mm["wall_ms"] for mm in res_sh.iter_metrics)
+        / max(1, len(res_sh.iter_metrics))
     )
+    g.unpersist()
     edges.unpersist()
 
     # --- secondary: representative relational/pipeline queries at sf_dir ---
@@ -70,10 +84,13 @@ def run() -> dict:
             "edges": m,
             "iterations": res.iterations,
             "converged": res.converged,
-            "pagerank_wall_sec": round(pr_sec, 3),
+            "barrier_wall_sec": round(pr_sec, 3),
+            "barrier_iterate_sec": round(iter_sec, 3),
+            "sharded_wall_sec": round(sharded_sec, 3),
+            "sharded_iter_ms": round(per_iter_ms, 1),
+            "sharded_edges_per_sec": round(m * res_sh.iterations / sharded_sec, 1),
+            "shard_build_sec": round(build_sec, 3),
             "gen_wall_sec": round(gen_sec, 3),
-            "first_iter_ms": round(build_ms, 1),
-            "steady_iter_ms": round(per_iter_ms, 1),
             "cpus": cpus,
         },
     }

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -40,6 +41,12 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--num-shards", type=int, default=None)
     p.add_argument(
         "--strategy", choices=["barrier", "sharded", "dataframe"], default="barrier"
+    )
+    p.add_argument(
+        "--shard-dir",
+        default=None,
+        help="shard layout dir; reused if already built (meta.json present), "
+        "else built there from the edge table",
     )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--run-id", default=None)
@@ -59,19 +66,23 @@ def main(argv: list[str] | None = None) -> dict:
     spark = SparkSession.builder.appName("linkgraph-pagerank").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    prebuilt = args.shard_dir and os.path.exists(os.path.join(args.shard_dir, "meta.json"))
     t_ingest0 = time.monotonic()
-    if args.edges:
-        edges = spark.read.parquet(args.edges).select("src", "dst")
-    else:
-        if args.transcripts:
-            transcripts = spark.read.parquet(args.transcripts)
-        elif args.generate:
-            transcripts = generate_transcripts(spark, n_convs=args.generate, seed=args.seed)
+    edges = None
+    if not (prebuilt and args.strategy in ("barrier", "sharded")):
+        if args.edges:
+            edges = spark.read.parquet(args.edges).select("src", "dst")
         else:
-            p.error("one of --transcripts / --edges / --generate is required")
-        edges = derive_edges(transcripts).select("src", "dst")
-    edges = edges.persist()
-    m = edges.count()
+            if args.transcripts:
+                transcripts = spark.read.parquet(args.transcripts)
+            elif args.generate:
+                transcripts = generate_transcripts(spark, n_convs=args.generate, seed=args.seed)
+            else:
+                p.error("one of --transcripts / --edges / --generate / "
+                        "a prebuilt --shard-dir is required")
+            edges = derive_edges(transcripts).select("src", "dst")
+        edges = edges.persist()
+    m = edges.count() if edges is not None else 0
     ingest_sec = time.monotonic() - t_ingest0
 
     store = ParquetManifestStore(args.checkpoint_dir) if args.checkpoint_dir else None
@@ -85,7 +96,11 @@ def main(argv: list[str] | None = None) -> dict:
         from linkgraph.plans.shards import ShardedGraph
 
         t0 = time.monotonic()
-        g = ShardedGraph.build(edges, num_shards=args.num_shards)
+        if prebuilt:
+            g = ShardedGraph.load(spark, args.shard_dir)
+        else:
+            g = ShardedGraph.build(edges, num_shards=args.num_shards, shard_dir=args.shard_dir)
+        m = g.m
         build_sec = time.monotonic() - t0
         fn = pagerank_barrier if args.strategy == "barrier" else pagerank_sharded
         t0 = time.monotonic()

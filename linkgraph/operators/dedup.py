@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 
 def _normalize(text_col):
-    return F.lower(F.regexp_replace(text_col, r"\s+", " "))
+    return F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -62,6 +62,28 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return df
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic MEDIA_SCHEMA view over a documents table (payload =
+    encoded text bytes, dims derived from doc_id/n_chars) — lets the
+    multimodal plumbing run against the shared test tables and be
+    oracle-checked arithmetically."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (16 + F.pmod(F.col("n_chars"), F.lit(64))).cast("int").alias("width"),
+            (16 + F.pmod(F.col("doc_id") * 7, F.lit(48))).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (1 + F.pmod(F.col("doc_id"), F.lit(32))).cast("int").alias("n_frames"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for a real image decoder: bytes -> HxW gray."""
     raw = np.frombuffer(payload, dtype=np.uint8)
@@ -131,10 +153,11 @@ def resize_plan(media: DataFrame, target: int = 224) -> DataFrame:
     exists. Demonstrates metadata-only pushdown: no payload bytes move."""
     w, h = F.col("meta.width"), F.col("meta.height")
     scale = F.lit(target) / F.least(w, h)
+    # floor, not round: identical across engines (round-half ties differ)
     return media.filter(F.col("kind") == "image").select(
         "media_id",
         w.alias("width"),
         h.alias("height"),
-        F.round(w * scale).cast("int").alias("out_width"),
-        F.round(h * scale).cast("int").alias("out_height"),
+        F.floor(w * scale).cast("int").alias("out_width"),
+        F.floor(h * scale).cast("int").alias("out_height"),
     )

@@ -160,6 +160,32 @@ class _Mesh:
         t.join()
         return got
 
+    def allgather(self, payload) -> dict[int, object]:
+        """Everyone ends with every task's payload. Recursive doubling when
+        P is a power of two (MPI's allgather: log2(P) pairwise exchanges —
+        per-message latency dominates at these sizes, so 2·log2(P) messages
+        beat the mesh's 2·(P-1)); mesh broadcast otherwise."""
+        if self.P == 1:
+            return {self.pid: payload}
+        if self.P & (self.P - 1) == 0:
+            blocks = {self.pid: payload}
+            r = 1
+            while r < self.P:
+                partner = self.pid ^ r
+                data = pickle.dumps(blocks, protocol=pickle.HIGHEST_PROTOCOL)
+                conn = self.conns[partner]
+                t = threading.Thread(
+                    target=conn.sendall, args=(struct.pack("<Q", len(data)) + data,)
+                )
+                t.start()
+                blocks.update(_recv_msg(conn))
+                t.join()
+                r <<= 1
+            return blocks
+        got = self.exchange({q: payload for q in self.conns})
+        got[self.pid] = payload
+        return got
+
     def close(self):
         for c in self.conns.values():
             c.close()
@@ -225,12 +251,19 @@ def pagerank_barrier(
         rank = rank_init.copy()
         lo, hi = int(seg_bounds[pid]), int(seg_bounds[pid + 1])
 
+        # Combine strategy by vertex-count regime:
+        # * small n: allgather ALL partials (recursive doubling) and combine
+        #   the full vector on every task — O(n) replicated work is cheap,
+        #   and 2·log2(P) messages beat 4·(P-1) (latency dominates).
+        # * large n: route partials to segment owners, allgather segments —
+        #   replicated combine would cost O(n) numpy + O(n·P) traffic.
+        replicate = n <= (1 << 19)
         # static owner routing: each shard's uniq-dst array is sorted, so
         # the slice owned by task q is one searchsorted range — computed once
         shard_routes = []
-        for part, (src_s, uniq, starts) in shards:
-            cuts = np.searchsorted(uniq, seg_bounds)
-            shard_routes.append(cuts)
+        if not replicate:
+            for part, (src_s, uniq, starts) in shards:
+                shard_routes.append(np.searchsorted(uniq, seg_bounds))
 
         mesh = _Mesh(ctx, pid, P)
         try:
@@ -254,6 +287,57 @@ def pagerank_barrier(
                          "wall_ms": (time.monotonic() - tk) * 1e3}
                     )
                 t_kernel = time.monotonic()
+
+                if replicate:
+                    # one allgather of partials; every task combines the
+                    # full vector (same floats, same pid order => identical
+                    # stop decisions and checkpoint-equal vectors)
+                    own_u = (
+                        np.concatenate([u for u, _ in per_shard])
+                        if per_shard else np.empty(0, np.int64)
+                    )
+                    own_s = (
+                        np.concatenate([s for _, s in per_shard])
+                        if per_shard else np.empty(0, np.float64)
+                    )
+                    blocks = mesh.allgather((own_u, own_s, pmet))
+                    t_route = time.monotonic()
+                    order = sorted(blocks)
+                    all_u = np.concatenate([blocks[q][0] for q in order])
+                    all_s = np.concatenate([blocks[q][1] for q in order])
+                    all_met = [mm for q in order for mm in blocks[q][2]]
+                    leaked = float(rank[dang_idx].sum())
+                    base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+                    new = np.full(n, base, dtype=np.float64)
+                    if len(all_u):
+                        new += d * np.bincount(all_u, weights=all_s, minlength=n)
+                    nsq = float(((new - rank) ** 2).sum())
+                    rank = new
+                    norm = float(np.sqrt(nsq))
+                    converged = bool(check_convergence and norm <= eps)
+                    done = converged or it >= max_iter
+                    my_metrics.extend(pmet)
+                    if pid == 0:
+                        iter_log.append(
+                            {"iteration": it, "norm": norm, "mass": float(rank.sum()),
+                             "wall_ms": (time.monotonic() - t0) * 1e3,
+                             "kernel_ms": (t_kernel - t0) * 1e3,
+                             "route_ms": (t_route - t_kernel) * 1e3,
+                             "partitions": len(all_met),
+                             "nnz": int(sum(mm["nnz"] for mm in all_met))}
+                        )
+                        if ckpt_root is not None and (
+                            done or it % checkpoint_interval == 0
+                        ):
+                            from linkgraph.checkpoint import write_iteration_arrays
+
+                            write_iteration_arrays(
+                                ckpt_root, run_id, it, ids, rank, iter_log[-1],
+                                [{"iteration": it, **mm} for mm in all_met],
+                            )
+                    if done:
+                        break
+                    continue
 
                 # (2) route partial slices to their segment owners (mesh
                 # round 1 — the scatter half of Allgatherv)

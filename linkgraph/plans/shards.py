@@ -387,6 +387,15 @@ class ShardedGraph:
         dangling_mask = out_deg == 0
         inv_od = np.where(dangling_mask, 0.0, 1.0 / np.where(dangling_mask, 1.0, out_deg))
         np.save(os.path.join(shard_dir, "inv_od.npy"), inv_od)
+        np.save(os.path.join(shard_dir, "node_ids.npy"), node_ids)
+        with open(os.path.join(shard_dir, "meta.json"), "w") as f:
+            import json
+
+            json.dump(
+                {"n": n, "m": m, "num_shards": num_shards,
+                 "hub_count": hub_count, "hub_threshold": hub_threshold},
+                f,
+            )
         od.unpersist()
         plan.unpersist()
         mapping.unpersist()
@@ -404,6 +413,44 @@ class ShardedGraph:
             hub_count=hub_count,
             hub_threshold=hub_threshold,
             _owns_dir=owns,
+        )
+
+    @staticmethod
+    def load(spark: SparkSession, shard_dir: str) -> "ShardedGraph":
+        """Reopen a previously built shard layout (meta.json + *.npy + the
+        part dirs) without touching the edge table — a built layout is a
+        reusable physical artifact, like the reference's formatted matrix
+        files."""
+        import json
+
+        with open(os.path.join(shard_dir, "meta.json")) as f:
+            meta = json.load(f)
+        inv_od = np.load(os.path.join(shard_dir, "inv_od.npy"))
+        node_ids = np.load(os.path.join(shard_dir, "node_ids.npy"))
+        part_dirs = sorted(
+            (int(d.split("=")[1]), os.path.join(shard_dir, d))
+            for d in os.listdir(shard_dir)
+            if d.startswith("part=")
+        )
+        shard_df = (
+            spark.createDataFrame(part_dirs, "part int, path string")
+            .repartitionByRange(len(part_dirs), "part")
+            .persist()
+        )
+        shard_df.count()
+        return ShardedGraph(
+            spark=spark,
+            shard_df=shard_df,
+            shard_dir=shard_dir,
+            node_ids=node_ids,
+            dangling_mask=inv_od == 0.0,
+            inv_od=inv_od,
+            n=meta["n"],
+            m=meta["m"],
+            num_shards=meta["num_shards"],
+            hub_count=meta["hub_count"],
+            hub_threshold=meta["hub_threshold"],
+            _owns_dir=False,
         )
 
     @property
