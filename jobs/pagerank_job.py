@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,6 +38,12 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--eps", type=float, default=1e-6)
     p.add_argument("--max-iter", type=int, default=200)
+    p.add_argument(
+        "--no-convergence",
+        action="store_true",
+        help="fixed --max-iter iterations, convergence check off (the "
+        "reference's benchmark mode, global_config.h CHECK_CONVERGENCE=0)",
+    )
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--num-shards", type=int, default=None)
     p.add_argument(
@@ -109,6 +116,7 @@ def main(argv: list[str] | None = None) -> dict:
             d=args.damping,
             eps=args.eps,
             max_iter=args.max_iter,
+            check_convergence=not args.no_convergence,
             store=store,
             run_id=args.run_id,
             sharded_graph=g,
@@ -122,6 +130,7 @@ def main(argv: list[str] | None = None) -> dict:
             d=args.damping,
             eps=args.eps,
             max_iter=args.max_iter,
+            check_convergence=not args.no_convergence,
             store=store,
             run_id=args.run_id,
         )
@@ -134,6 +143,12 @@ def main(argv: list[str] | None = None) -> dict:
     # startup — the reference reports per-iteration averages the same way,
     # pagerank_custom.h:279-283)
     iterate_sec = sum(mm["wall_ms"] for mm in res.iter_metrics) / 1e3
+    # median-iteration throughput: robust to multi-second vCPU freezes this
+    # hypervisor exhibits (a single frozen iteration poisons the sum)
+    med_iter_sec = (
+        statistics.median(mm["wall_ms"] for mm in res.iter_metrics) / 1e3
+        if res.iter_metrics else 0.0
+    )
     out = {
         "edges": m,
         "vertices": res.ranks.count(),
@@ -146,10 +161,22 @@ def main(argv: list[str] | None = None) -> dict:
         "ingest_sec": round(ingest_sec, 3),
         "edges_per_sec": round(m * res.iterations / wall, 1),
         "edges_per_sec_iterate": round(m * res.iterations / max(iterate_sec, 1e-9), 1),
+        "edges_per_sec_median_iter": round(m / max(med_iter_sec, 1e-9), 1),
+        "median_iter_sec": round(med_iter_sec, 4),
         "parallelism": spark.sparkContext.defaultParallelism,
         "master": spark.sparkContext.master,
         "strategy": args.strategy,
     }
+    if os.environ.get("LG_DEBUG_ITERS"):
+        import statistics as _st
+
+        ms = res.iter_metrics
+        for k in ("wall_ms", "kernel_ms", "route_ms"):
+            vals = [m[k] for m in ms if k in m]
+            if vals:
+                out[f"dbg_{k}_median"] = round(_st.median(vals), 1)
+                out[f"dbg_{k}_max"] = round(max(vals), 1)
+        out["dbg_first3_wall"] = [round(m["wall_ms"], 1) for m in ms[:3]]
     if args.top_k:
         from linkgraph.operators.pagerank import top_k
 

@@ -58,7 +58,7 @@ import time
 
 import numpy as np
 
-from linkgraph.plans.shards import ShardedGraph, csr_partials, load_csr_shard
+from linkgraph.plans.shards import ShardedGraph, csr_partials
 
 _MSG_LIMIT = 1 << 34
 
@@ -87,25 +87,12 @@ def _recv_msg(sock: socket.socket):
     return pickle.loads(_recv_exact(sock, size))
 
 
-def _assign_shards(part_dirs: list[tuple[int, str]], num_tasks: int) -> list[list[tuple[int, str]]]:
-    """Greedy LPT bin-packing of shard dirs onto tasks by on-disk bytes —
-    the edge-count-balanced block assignment of main_mpi.c:88-108."""
-
-    def dir_bytes(path: str) -> int:
-        return sum(
-            os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-
-    sized = sorted(((dir_bytes(p), part, p) for part, p in part_dirs), reverse=True)
-    bins: list[list[tuple[int, str]]] = [[] for _ in range(num_tasks)]
-    loads = [0] * num_tasks
-    for sz, part, p in sized:
-        i = loads.index(min(loads))
-        bins[i].append((part, p))
-        loads[i] += sz
-    return bins
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
 
 
 class _Mesh:
@@ -221,7 +208,6 @@ def pagerank_barrier(
     P = num_tasks or sc.defaultParallelism
     part_dirs = [(r["part"], r["path"]) for r in g.shard_df.collect()]
     P = max(1, min(P, max(1, len(part_dirs))))
-    bins = _assign_shards(part_dirs, P)
     # contiguous vertex segments, one owner task each (main_mpi.c:88-108)
     seg_bounds = np.linspace(0, n, P + 1).astype(np.int64)
 
@@ -237,16 +223,18 @@ def pagerank_barrier(
     ckpt_root = store.root if store is not None and run_id is not None else None
     dangling_idx = np.flatnonzero(g.dangling_mask)
     bc = sc.broadcast((rank0, dangling_idx, g.inv_od, node_ids if ckpt_root else None))
-    tasks = list(enumerate(bins))  # (task_id, assigned shard dirs)
+    path_of = dict(part_dirs)
+    parts_sized = sorted((part, _dir_bytes(path)) for part, path in part_dirs)
+    tasks = list(range(P))
 
     def run(it_rows):
         from pyspark import BarrierTaskContext
 
+        from linkgraph.plans.shards import _load_shard
+
         ctx = BarrierTaskContext.get()
         pid = ctx.partitionId()
-        rows = list(it_rows)
-        assigned = rows[0][1] if rows else []
-        shards = [(part, load_csr_shard(path)) for part, path in assigned]
+        list(it_rows)  # drain; partition index IS the task id
         rank_init, dang_idx, inv_od, ids = bc.value
         rank = rank_init.copy()
         lo, hi = int(seg_bounds[pid]), int(seg_bounds[pid + 1])
@@ -258,12 +246,38 @@ def pagerank_barrier(
         # * large n: route partials to segment owners, allgather segments —
         #   replicated combine would cost O(n) numpy + O(n·P) traffic.
         replicate = n <= (1 << 19)
-        # static owner routing: each shard's uniq-dst array is sorted, so
-        # the slice owned by task q is one searchsorted range — computed once
-        shard_routes = []
-        if not replicate:
-            for part, (src_s, uniq, starts) in shards:
-                shard_routes.append(np.searchsorted(uniq, seg_bounds))
+
+        # Deterministic speed-aware shard assignment, recomputed every
+        # iteration by EVERY task from the allgathered per-shard metrics —
+        # zero extra communication. Motivation (measured): under full load
+        # this host's per-core speeds spread >2×, so a fixed assignment
+        # gates each gang-synchronized iteration on the slowest core; with
+        # per-task rates (EMA-smoothed, identical floats everywhere) fast
+        # cores are assigned proportionally more shards. Shard migration is
+        # cheap: decoded CSR sidecars are mmap-shared host-wide
+        # (shards.load_csr_shard). The reference handles the same
+        # irregularity with OpenMP guided scheduling (pagerank_custom.h:80).
+        size_of = dict(parts_sized)
+        order_desc = [pp for pp, _sz in sorted(parts_sized, key=lambda x: (-x[1], x[0]))]
+        rate = [1.0] * P
+
+        def my_parts() -> list[int]:
+            load = [0.0] * P
+            mine = []
+            for part in order_desc:
+                q = min(range(P), key=lambda i: ((load[i] + size_of[part]) / rate[i], i))
+                load[q] += size_of[part]
+                if q == pid:
+                    mine.append(part)
+            return mine
+
+        def update_rates(met_by_pid: dict[int, list[dict]]) -> None:
+            for q in sorted(met_by_pid):
+                mm = met_by_pid[q]
+                done_b = sum(size_of[x["part_id"]] for x in mm)
+                wall = sum(x["wall_ms"] for x in mm)
+                if done_b and wall > 0:
+                    rate[q] = 0.5 * rate[q] + 0.5 * (done_b / wall)
 
         mesh = _Mesh(ctx, pid, P)
         try:
@@ -274,13 +288,14 @@ def pagerank_barrier(
             converged = False
             for it in range(start_iter + 1, max_iter + 1):
                 t0 = time.monotonic()
-                # (1) local SpMV partials per shard (shared CSR kernel)
+                # (1) SpMV partials over this iteration's assigned shards
+                # (shared CSR kernel; mmap-shared decoded arrays)
                 w_rank = rank * inv_od
                 pmet = []
                 per_shard = []
-                for (part, shard) in shards:
+                for part in my_parts():
                     tk = time.monotonic()
-                    u, s, nnz = csr_partials(shard, w_rank)
+                    u, s, nnz = csr_partials(_load_shard(path_of[part]), w_rank)
                     per_shard.append((u, s))
                     pmet.append(
                         {"part_id": part, "nnz": nnz, "rows": len(u),
@@ -306,6 +321,7 @@ def pagerank_barrier(
                     all_u = np.concatenate([blocks[q][0] for q in order])
                     all_s = np.concatenate([blocks[q][1] for q in order])
                     all_met = [mm for q in order for mm in blocks[q][2]]
+                    update_rates({q: blocks[q][2] for q in order})
                     leaked = float(rank[dang_idx].sum())
                     base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
                     new = np.full(n, base, dtype=np.float64)
@@ -323,6 +339,7 @@ def pagerank_barrier(
                              "wall_ms": (time.monotonic() - t0) * 1e3,
                              "kernel_ms": (t_kernel - t0) * 1e3,
                              "route_ms": (t_route - t_kernel) * 1e3,
+                             "comb_ms": (time.monotonic() - t_route) * 1e3,
                              "partitions": len(all_met),
                              "nnz": int(sum(mm["nnz"] for mm in all_met))}
                         )
@@ -340,7 +357,10 @@ def pagerank_barrier(
                     continue
 
                 # (2) route partial slices to their segment owners (mesh
-                # round 1 — the scatter half of Allgatherv)
+                # round 1 — the scatter half of Allgatherv); each shard's
+                # uniq-dst array is sorted, so the slice owned by task q is
+                # one searchsorted range
+                shard_routes = [np.searchsorted(u, seg_bounds) for (u, _s) in per_shard]
                 outgoing = {}
                 for q in range(P):
                     if q == pid:
@@ -382,11 +402,14 @@ def pagerank_barrier(
                 new[lo:hi] = seg
                 nsq = dsq
                 all_met = list(pmet)
+                met_by_pid = {pid: pmet}
                 for q in sorted(segs):
                     qseg, qdsq, qmet = segs[q]
                     new[int(seg_bounds[q]):int(seg_bounds[q + 1])] = qseg
                     nsq += qdsq
                     all_met.extend(qmet)
+                    met_by_pid[q] = qmet
+                update_rates(met_by_pid)
                 rank = new
                 norm = float(np.sqrt(nsq))
                 converged = bool(check_convergence and norm <= eps)

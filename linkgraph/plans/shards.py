@@ -137,16 +137,11 @@ _STEP_SCHEMA = (
 # which is what the aggregate SpMV throughput is bound by at high core
 # counts. Float math is bit-identical: 1/outdeg is computed once either way.
 _SHARD_CACHE: dict[str, tuple] = {}
-_SHARD_CACHE_MAX = 8
+_SHARD_CACHE_MAX = 16
 _INV_CACHE: dict[str, np.ndarray] = {}
 
 
-def load_csr_shard(path: str):
-    """Decode one shard to its iteration-ready CSR form: src sorted by dst,
-    plus the STATIC dst segment index (unique dst values + their start
-    offsets — the CSR rowptr, pagerank_custom.h:128-134, built once). Per
-    iteration only src (int32) and the contrib vector are streamed; dst
-    never touches memory again."""
+def _decode_csr(path: str):
     t = pq.read_table(path, columns=["src_idx", "dst_idx"])
     src = t.column("src_idx").to_numpy(zero_copy_only=False)
     dst = t.column("dst_idx").to_numpy(zero_copy_only=False)
@@ -160,11 +155,39 @@ def load_csr_shard(path: str):
     return src_s, uniq, starts
 
 
+def load_csr_shard(path: str):
+    """One shard in iteration-ready CSR form: src sorted by dst, plus the
+    STATIC dst segment index (unique dst values + start offsets — the CSR
+    rowptr, pagerank_custom.h:128-134, built once). Per iteration only src
+    and the contrib vector are streamed; dst never touches memory again.
+
+    The decoded arrays are persisted as .npy sidecars next to the parquet
+    (first toucher writes them, tmp+rename so concurrent creation is
+    idempotent): re-opening a shard is a page-cache-speed file read, so
+    work redistribution between tasks costs ~ms, not a parquet decode +
+    sort. Arrays are loaded INTO RAM, not mmap'd — numpy fancy indexing
+    with a memmap index array measures ~2× slower than with a plain
+    ndarray, and the gather is the hot loop."""
+    src_p = os.path.join(path, "csr_src.npy")
+    uniq_p = os.path.join(path, "csr_uniq.npy")
+    starts_p = os.path.join(path, "csr_starts.npy")
+    if not (os.path.exists(src_p) and os.path.exists(uniq_p) and os.path.exists(starts_p)):
+        src_s, uniq, starts = _decode_csr(path)
+        for arr, dest in ((uniq, uniq_p), (starts, starts_p), (src_s, src_p)):
+            tmp = dest + f".tmp{os.getpid()}.npy"
+            np.save(tmp, arr)
+            os.replace(tmp, dest)
+    src_s = np.load(src_p)
+    uniq = np.load(uniq_p)
+    starts = np.load(starts_p)
+    return src_s, uniq, starts
+
+
 def _load_shard(path: str):
     ent = _SHARD_CACHE.pop(path, None)
     if ent is None:
         ent = load_csr_shard(path)
-    _SHARD_CACHE[path] = ent  # re-insert = move to MRU
+    _SHARD_CACHE[path] = ent  # re-insert = move to MRU (bounds open mmaps)
     while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
         _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
     return ent

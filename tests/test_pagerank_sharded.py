@@ -91,6 +91,25 @@ def test_shard_and_task_count_invariance(spark):
     assert np.allclose(_vec(r1), _vec(r8), atol=1e-6, rtol=0)
 
 
+def test_shard_layout_reload(spark, tmp_path):
+    """A built shard layout is a reusable artifact: load() must reproduce
+    the build's state and yield identical PageRank (bench runs share one
+    build across parallelism levels this way)."""
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst)
+    sd = str(tmp_path / "shards")
+    g = ShardedGraph.build(df, num_shards=3, shard_dir=sd)
+    a = pagerank_barrier(df, eps=1e-8, sharded_graph=g, num_tasks=3)
+    g.unpersist()  # keeps the dir: caller-provided shard_dir is not owned
+    g2 = ShardedGraph.load(spark, sd)
+    assert (g2.n, g2.m, g2.num_shards) == (g.n, g.m, g.num_shards)
+    assert np.array_equal(g2.node_ids, g.node_ids)
+    assert np.array_equal(g2.dangling_mask, g.dangling_mask)
+    b = pagerank_barrier(df, eps=1e-8, sharded_graph=g2, num_tasks=2)
+    assert np.allclose(_vec(a), _vec(b), atol=1e-9, rtol=0)
+    g2.unpersist()
+
+
 def test_per_partition_metrics_lineage(spark, tmp_path):
     from linkgraph.checkpoint import ParquetManifestStore
 
