@@ -161,6 +161,27 @@ def q_components(spark, sf_dir):
     return labeled.join(rep, "component").select("node_name", "component_name")
 
 
+def q_components_twophase(spark, sf_dir):
+    """Large-star/small-star components (Kiveris et al.) — O(log n) rounds;
+    must equal the min-label result exactly (same recursive-CTE oracle)."""
+    from linkgraph.operators.components import connected_components_twophase
+
+    edges = _bipartite_edges(spark, sf_dir).select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    )
+    names = (
+        _bipartite_edges(spark, sf_dir)
+        .select(F.col("src").alias("node_name"))
+        .union(_bipartite_edges(spark, sf_dir).select("dst"))
+        .distinct()
+        .withColumn("node", F.xxhash64("node_name"))
+    )
+    comp = connected_components_twophase(edges).components
+    labeled = comp.join(names, "node")
+    rep = labeled.groupBy("component").agg(F.min("node_name").alias("component_name"))
+    return labeled.join(rep, "component").select("node_name", "component_name")
+
+
 def q_pagerank(spark, sf_dir):
     """Full converged PageRank (loop — rows-only check; exactness is pinned
     by tests/ against the numpy oracle instead)."""
@@ -365,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_step": q_pagerank_step,
         "top_hubs": q_top_hubs,
         "components": q_components,
+        "components_twophase": q_components_twophase,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
         "triangles": q_triangles,
@@ -414,7 +436,7 @@ def oracle_sql() -> dict[str, str]:
     norm = _DOC_NORM
     ntok = f"CASE WHEN length({norm}) = 0 THEN 0 ELSE length({norm}) - length(replace({norm}, ' ', '')) + 1 END"
 
-    return {
+    out = {
         "edge_derivation": f"""
             SELECT src, dst, count(*) AS weight FROM ({_TRANS}) GROUP BY src, dst
         """,
@@ -598,3 +620,6 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
     }
+    # the two-phase algorithm must produce byte-identical components
+    out["components_twophase"] = out["components"]
+    return out

@@ -33,6 +33,82 @@ class ComponentsResult:
     iter_metrics: list[dict] = field(default_factory=list)
 
 
+def connected_components_twophase(edges: DataFrame, max_iter: int = 50) -> ComponentsResult:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round alternative to min-label propagation's O(diameter):
+
+    * large-star: every node's neighbors that are LARGER than it attach to
+      its current minimum neighbor;
+    * small-star: every node and its smaller neighbors attach to the
+      overall minimum.
+
+    Each phase is one groupBy-min + join on the evolving parent-pointer
+    edge set; rounds until the parent forest is stable. At 10^12-edge
+    scale the round count (log n) rather than graph diameter is what makes
+    components tractable — diameters of conversation graphs can be large.
+    Output identical to ``connected_components`` (exact, component id =
+    min node id in component); tests assert equality on every fixture."""
+    # parent-pointer edge set, undirected init, self-loops dropped, distinct
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    metrics: list[dict] = []
+    it = 0
+    for it in range(1, max_iter + 1):
+        # large-star: for each node u, link every neighbor v > u to
+        # m(u) = min(N(u) ∪ {u})
+        sym = e.select("src", "dst").unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("m")).select(
+            "src", "m"
+        )
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: for each node u, link all neighbors <= u (and u) to m(u)
+        symL = large.select("src", "dst").unionByName(
+            large.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        only_small = symL.filter(F.col("dst") <= F.col("src"))
+        minsS = only_small.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            only_small.join(minsS, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(minsS.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # converged when the edge set reached a fixpoint (stable star forest)
+        small = small.persist()
+        n_small = small.count()
+        changed = n_small != e.count() or small.subtract(e).count() > 0
+        old = e
+        e = small
+        old.unpersist()
+        metrics.append({"iteration": it, "edges": int(n_small)})
+        if not changed:
+            break
+
+    # e is now a star forest: src -> component root (min id). Nodes absent
+    # from e are singletons/roots.
+    verts = vertices(edges)
+    comp = (
+        verts.join(e.select(F.col("src").alias("node"), F.col("dst").alias("root")), "node", "left")
+        .select("node", F.coalesce("root", F.col("node")).alias("component"))
+    )
+    return ComponentsResult(components=comp, iterations=it, iter_metrics=metrics)
+
+
 def connected_components(edges: DataFrame, max_iter: int = 100) -> ComponentsResult:
     sym = symmetrize(edges).persist()
     labels = vertices(edges).select("node", F.col("node").alias("component")).persist()

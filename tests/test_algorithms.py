@@ -24,6 +24,34 @@ def test_components_exact(spark, fixture):
     assert {i: got[i] for i in present} == {i: int(want[i]) for i in present}
 
 
+@pytest.mark.parametrize(
+    "fixture", [fx.toy_chain_dangling, fx.two_components, fx.karate_club, fx.multi_edge]
+)
+def test_components_twophase_exact(spark, fixture):
+    """Large-star/small-star must equal the union-find oracle exactly —
+    and therefore the min-label algorithm — on every fixture."""
+    from linkgraph.operators.components import connected_components_twophase
+
+    src, dst, n = fixture()
+    df = fx.edges_df(spark, src, dst)
+    res = connected_components_twophase(df)
+    got = {r["node"]: r["component"] for r in res.components.collect()}
+    want = oracle.connected_components(src, dst, n)
+    present = sorted(set(src.tolist()) | set(dst.tolist()))
+    assert {i: got[i] for i in present} == {i: int(want[i]) for i in present}
+
+
+def test_components_twophase_star_hub(spark):
+    """Hub fixture: converges in few rounds (the O(log n) property's point)."""
+    from linkgraph.operators.components import connected_components_twophase
+
+    src, dst, n = fx.star_hub(500)
+    res = connected_components_twophase(fx.edges_df(spark, src, dst))
+    comps = {r["component"] for r in res.components.collect()}
+    assert comps == {0}  # one component rooted at min id
+    assert res.iterations <= 5
+
+
 def test_components_converged_flag(spark):
     src, dst, n = fx.two_components()
     res = connected_components(fx.edges_df(spark, src, dst))

@@ -52,9 +52,17 @@ def test_minhash_estimate_close_to_exact(spark, docs):
 
 
 def test_simhash_near_pairs(spark):
-    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    # uneven token counts: equal counts make per-bit signed sums tie at 0,
+    # and ties flip arbitrarily under tiny edits (inherent SimHash behavior
+    # on a toy vocabulary, not a bug)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    base = " ".join(w for i, w in enumerate(words) for _ in range(3 + 2 * i))
     near = base.replace("theta", "iota", 1)
-    far = "one two three four five six seven eight nine ten " * 8
+    far = " ".join(
+        w for i, w in enumerate(
+            ["one", "two", "three", "four", "five", "six", "seven", "eight"]
+        ) for _ in range(3 + 2 * i)
+    )
     d = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
     sh = {r["id"]: r["simhash"] for r in dedup.simhash(d).collect()}
     assert bin(sh[1] ^ sh[2]).count("1") < bin(sh[1] ^ sh[3]).count("1")
