@@ -314,6 +314,36 @@ def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + cumulative sum over window)."""
+    from linkgraph.operators.sessions import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_seconds=1800).select(
+        "user_id", "session_seq", "n_events", "span_ms"
+    )
+
+
+def q_lpa_round(spark, sf_dir):
+    """One synchronous LPA round from identity labels — mode of neighbor
+    labels, ties to the smaller label (the deterministic building block of
+    the full loop; SQL-expressible, unlike the fixpoint)."""
+    edges = _bipartite_edges(spark, sf_dir)
+    sym = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    counts = sym.groupBy(
+        F.col("dst").alias("node_name"), F.col("src").alias("label")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("node_name").orderBy(F.desc("cnt"), F.asc("label"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node_name", F.col("label").alias("new_label"))
+    )
+
+
 def q_word_jaccard(spark, sf_dir):
     """Exact 1-gram Jaccard for a candidate pair set (the verify stage after
     LSH) — shingle-set joins, oracle-checked against DuckDB unnest."""
@@ -340,6 +370,14 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, q, k=5, bits=6, tables=8).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine6"), "rank"
     )
+
+
+def q_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints (xxhash64-based;
+    rows-only check — the subsampling guarantee is pinned in tests/)."""
+    from linkgraph.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir))
 
 
 def q_resize_plan(spark, sf_dir):
@@ -398,8 +436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
+        "sessionize": q_sessionize,
+        "lpa_round": q_lpa_round,
         "word_jaccard": q_word_jaccard,
         "lsh_topk": q_lsh_topk,
+        "winnowing": q_winnowing,
         "resize_plan": q_resize_plan,
         "frame_sample": q_frame_sample,
         "decode_features": q_decode_features,
@@ -565,6 +606,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             SELECT doc_id, md5({norm}) AS fp FROM documents
+        """,
+        "sessionize": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            t AS (
+              SELECT user_id, ts,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_seq
+              FROM s
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS span_ms
+            FROM t GROUP BY user_id, session_seq
+        """,
+        "lpa_round": f"""
+            WITH e AS ({_BIP}),
+            sym AS (
+              SELECT DISTINCT src, dst FROM e WHERE src <> dst
+              UNION SELECT DISTINCT dst, src FROM e WHERE src <> dst
+            ),
+            counts AS (
+              SELECT dst AS node_name, src AS label, count(*) AS cnt
+              FROM sym GROUP BY dst, src
+            )
+            SELECT node_name, label AS new_label
+            FROM counts
+            QUALIFY row_number() OVER (PARTITION BY node_name
+                                       ORDER BY cnt DESC, label ASC) = 1
         """,
         "word_jaccard": f"""
             WITH toks AS (

@@ -109,3 +109,39 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("fp_exact", F.xxhash64(norm)).withColumn(
         "fp_min", F.array_min(rolling)
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """[id, fp] — winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03, the MOSS algorithm): hash every k-token gram, slide a
+    window of ``window`` gram-hashes, keep each window's minimum, dedupe.
+    Guarantees every match of length >= window+k-1 tokens shares a
+    fingerprint, while storing ~2/(window+1) of the grams — the
+    subsampling property that makes fingerprint joins tractable at corpus
+    scale. Pure Catalyst: array ops + a rows-window min."""
+    from pyspark.sql import Window as W
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = F.split(norm, " ")
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                idxs, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+            )
+        ).alias("pos", "h"),
+    )
+    w = W.partitionBy("id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    return (
+        grams.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("pos") >= window - 1)
+        .select("id", "fp")
+        .distinct()
+    )

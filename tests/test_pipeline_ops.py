@@ -202,3 +202,24 @@ def test_frame_sample_and_resize(spark):
     assert fs.filter(F.col("frame_idx") % 8 != 0).count() == 0
     rp = multimodal.resize_plan(m, target=224).collect()
     assert all(min(r["out_width"], r["out_height"]) == 224 for r in rp)
+
+
+def test_winnowing_fingerprints(spark):
+    from linkgraph.operators.textstats import winnowing_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    shifted = "PREFIX WORDS HERE " + base  # shared run >> window+k-1
+    other = "completely different content with no overlap whatsoever in any token stream"
+    d = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, other)], "doc_id long, text string"
+    )
+    fps = {i: set() for i in (1, 2, 3)}
+    for r in winnowing_fingerprints(d, k=3, window=4).collect():
+        fps[r["id"]].add(r["fp"])
+    # winnowing guarantee: long shared runs share fingerprints, regardless
+    # of the position shift; disjoint texts share none
+    assert len(fps[1] & fps[2]) >= 1
+    assert not (fps[1] & fps[3])
+    # subsampling: far fewer fingerprints than grams
+    n_grams = len(base.split()) - 2
+    assert len(fps[1]) < n_grams
