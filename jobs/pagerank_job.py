@@ -171,7 +171,7 @@ def main(argv: list[str] | None = None) -> dict:
         import statistics as _st
 
         ms = res.iter_metrics
-        for k in ("wall_ms", "kernel_ms", "route_ms"):
+        for k in ("wall_ms", "kernel_ms", "route_ms", "comb_ms"):
             vals = [m[k] for m in ms if k in m]
             if vals:
                 out[f"dbg_{k}_median"] = round(_st.median(vals), 1)

@@ -247,37 +247,22 @@ def pagerank_barrier(
         #   replicated combine would cost O(n) numpy + O(n·P) traffic.
         replicate = n <= (1 << 19)
 
-        # Deterministic speed-aware shard assignment, recomputed every
-        # iteration by EVERY task from the allgathered per-shard metrics —
-        # zero extra communication. Motivation (measured): under full load
-        # this host's per-core speeds spread >2×, so a fixed assignment
-        # gates each gang-synchronized iteration on the slowest core; with
-        # per-task rates (EMA-smoothed, identical floats everywhere) fast
-        # cores are assigned proportionally more shards. Shard migration is
-        # cheap: decoded CSR sidecars are mmap-shared host-wide
-        # (shards.load_csr_shard). The reference handles the same
-        # irregularity with OpenMP guided scheduling (pagerank_custom.h:80).
+        # Static deterministic LPT assignment, identical on every task:
+        # shards sorted by bytes desc, each assigned to the least-loaded
+        # task (the edge-count-balanced block assignment of
+        # main_mpi.c:88-108). A measured-rate adaptive variant was tried
+        # and REVERTED: on this jittery host, rates estimated from the
+        # previous iteration are stale by the next one, and the resulting
+        # misallocation waits exceeded the imbalance they removed.
         size_of = dict(parts_sized)
         order_desc = [pp for pp, _sz in sorted(parts_sized, key=lambda x: (-x[1], x[0]))]
-        rate = [1.0] * P
-
-        def my_parts() -> list[int]:
-            load = [0.0] * P
-            mine = []
-            for part in order_desc:
-                q = min(range(P), key=lambda i: ((load[i] + size_of[part]) / rate[i], i))
-                load[q] += size_of[part]
-                if q == pid:
-                    mine.append(part)
-            return mine
-
-        def update_rates(met_by_pid: dict[int, list[dict]]) -> None:
-            for q in sorted(met_by_pid):
-                mm = met_by_pid[q]
-                done_b = sum(size_of[x["part_id"]] for x in mm)
-                wall = sum(x["wall_ms"] for x in mm)
-                if done_b and wall > 0:
-                    rate[q] = 0.5 * rate[q] + 0.5 * (done_b / wall)
+        load = [0.0] * P
+        mine_parts: list[int] = []
+        for part in order_desc:
+            q = min(range(P), key=lambda i: (load[i] + size_of[part], i))
+            load[q] += size_of[part]
+            if q == pid:
+                mine_parts.append(part)
 
         mesh = _Mesh(ctx, pid, P)
         try:
@@ -293,7 +278,7 @@ def pagerank_barrier(
                 w_rank = rank * inv_od
                 pmet = []
                 per_shard = []
-                for part in my_parts():
+                for part in mine_parts:
                     tk = time.monotonic()
                     u, s, nnz = csr_partials(_load_shard(path_of[part]), w_rank)
                     per_shard.append((u, s))
@@ -321,7 +306,6 @@ def pagerank_barrier(
                     all_u = np.concatenate([blocks[q][0] for q in order])
                     all_s = np.concatenate([blocks[q][1] for q in order])
                     all_met = [mm for q in order for mm in blocks[q][2]]
-                    update_rates({q: blocks[q][2] for q in order})
                     leaked = float(rank[dang_idx].sum())
                     base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
                     new = np.full(n, base, dtype=np.float64)
@@ -409,7 +393,6 @@ def pagerank_barrier(
                     nsq += qdsq
                     all_met.extend(qmet)
                     met_by_pid[q] = qmet
-                update_rates(met_by_pid)
                 rank = new
                 norm = float(np.sqrt(nsq))
                 converged = bool(check_convergence and norm <= eps)
