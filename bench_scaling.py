@@ -81,6 +81,8 @@ def _materialize(n_convs: int, n_users: int, n_agents: int, num_shards: int) -> 
 
 
 def _control_worker(q, my_parts, inv_path, iters):
+    import statistics as st
+
     import numpy as np
 
     from linkgraph.plans.shards import load_csr_shard
@@ -90,14 +92,16 @@ def _control_worker(q, my_parts, inv_path, iters):
     shards = [load_csr_shard(p) for p in my_parts]
     m = sum(len(s[0]) for s in shards)
     rank = np.full(n, 1.0 / n)
-    t0 = time.monotonic()
+    walls = []
     for _ in range(iters):
+        t0 = time.monotonic()
         w = rank * inv
         for src, _uniq, starts in shards:
             c = w[src]
             if len(starts):
                 np.add.reduceat(c, starts)
-    q.put((m, time.monotonic() - t0))
+        walls.append(time.monotonic() - t0)
+    q.put((m, st.median(walls)))
 
 
 def host_control_level(shard_dir: str, m: int, iters: int, P: int) -> float:
@@ -107,20 +111,28 @@ def host_control_level(shard_dir: str, m: int, iters: int, P: int) -> float:
         os.path.join(shard_dir, d) for d in os.listdir(shard_dir) if d.startswith("part=")
     )
     inv_path = os.path.join(shard_dir, "inv_od.npy")
+    # LPT bins by bytes (same balance as the engine) and per-worker
+    # MEDIAN-iteration throughput, summed — the jitter-robust, sync-free
+    # best case; directly comparable to the engine's median-iter metric
+    sized = sorted(
+        ((sum(os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+              if f.endswith(".parquet")), p) for p in parts),
+        reverse=True,
+    )
     bins = [[] for _ in range(P)]
-    for i, p in enumerate(parts):
-        bins[i % P].append(p)
+    loads = [0] * P
+    for sz, p in sized:
+        i = loads.index(min(loads))
+        bins[i].append(p)
+        loads[i] += sz
     q = multiprocessing.Queue()
     ps = [
         multiprocessing.Process(target=_control_worker, args=(q, b, inv_path, iters))
         for b in bins
     ]
-    t0 = time.monotonic()
     [p.start() for p in ps]
     [p.join() for p in ps]
-    wall = time.monotonic() - t0
-    [q.get() for _ in ps]
-    tp = m * iters / wall
+    tp = sum(mm / med for mm, med in (q.get() for _ in ps))
     print(f"  control x{P}: {tp/1e6:.0f}M edges/s", file=sys.stderr)
     return tp
 
