@@ -372,6 +372,18 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (k-means coarse quantizer) approximate top-k — the scale path
+    alongside lsh_topk (rows-only; recall pinned in tests/)."""
+    from linkgraph.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine6"), "rank"
+    )
+
+
 def q_winnowing(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprints (xxhash64-based;
     rows-only check — the subsampling guarantee is pinned in tests/)."""
@@ -440,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_round": q_lpa_round,
         "word_jaccard": q_word_jaccard,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "winnowing": q_winnowing,
         "resize_plan": q_resize_plan,
         "frame_sample": q_frame_sample,

@@ -201,6 +201,75 @@ def lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means cells over the corpus
+    (pyspark.ml KMeans — one pass to assign), queries probe their
+    ``n_probe`` nearest centroids, exact cosine re-rank within the probed
+    cells. The classic coarse-quantizer ANN layout (IVFFlat); recall is
+    traded via n_probe, candidate count shrinks ~n_cells/n_probe-fold.
+    Returns [query_id, neighbor_id, cosine, rank]."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(e.select("features"))
+    assigned = km.transform(e).select(
+        "neighbor_id", "nv", F.col("prediction").alias("cell")
+    )
+
+    centers = km.clusterCenters()
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # probe the n_probe nearest centroids per query (centroid table is tiny)
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "query_id", "qv", "cell",
+            _cosine(F.col("qv").cast("array<double>"), F.col("center")).alias("csim"),
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+    probes = qc.withColumn("pr", F.row_number().over(wprobe)).filter(
+        F.col("pr") <= n_probe
+    ).select("query_id", "qv", "cell")
+
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -223,3 +223,19 @@ def test_winnowing_fingerprints(spark):
     # subsampling: far fewer fingerprints than grams
     n_grams = len(base.split()) - 2
     assert len(fps[1]) < n_grams
+
+
+def test_ivf_topk_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    approx = similarity.ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.5  # probing half the cells must recover most of top-5
+    # exact re-rank: any shared hit carries the exact cosine
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert abs(r["cosine"] - ex[key]) < 1e-9
