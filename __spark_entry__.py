@@ -304,7 +304,9 @@ def q_minhash_near_dups(spark, sf_dir):
     rows-only check; estimator accuracy pinned in tests/)."""
     from linkgraph.operators.dedup import minhash_lsh
 
-    return minhash_lsh(_docs(spark, sf_dir), num_hashes=32, bands=16)
+    # bands=8 => rows_per_band=4: collision prob p^4 keeps candidate volume
+    # bounded (bands=16/r=2 was a p^2 candidate explosion — 30x slower)
+    return minhash_lsh(_docs(spark, sf_dir), num_hashes=32, bands=8)
 
 
 def q_simhash(spark, sf_dir):
@@ -681,12 +683,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = cand.b
         """,
         "resize_plan": """
-            SELECT doc_id AS media_id,
-                   CAST(16 + n_chars % 64 AS INT) AS width,
-                   CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
-                   CAST(floor((16 + n_chars % 64) * (224.0 / least(16 + n_chars % 64, 16 + (doc_id * 7) % 48))) AS INT) AS out_width,
-                   CAST(floor((16 + (doc_id * 7) % 48) * (224.0 / least(16 + n_chars % 64, 16 + (doc_id * 7) % 48))) AS INT) AS out_height
-            FROM documents WHERE doc_id % 3 = 0
+            WITH dims AS (
+                SELECT doc_id,
+                       CAST(16 + n_chars % 64 AS INT) AS w,
+                       CAST(16 + (doc_id * 7) % 48 AS INT) AS h
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT doc_id AS media_id, w AS width, h AS height,
+                   CAST(CASE WHEN w <= h THEN 224
+                             ELSE floor((w * 224.0) / h) END AS INT) AS out_width,
+                   CAST(CASE WHEN h <= w THEN 224
+                             ELSE floor((h * 224.0) / w) END AS INT) AS out_height
+            FROM dims
         """,
         "frame_sample": """
             SELECT doc_id AS media_id,

@@ -56,6 +56,7 @@ def connected_components_twophase(edges: DataFrame, max_iter: int = 50) -> Compo
         .distinct()
         .persist()
     )
+    prev_n = e.count()  # carried across rounds — never recounted
     metrics: list[dict] = []
     it = 0
     for it in range(1, max_iter + 1):
@@ -88,10 +89,24 @@ def connected_components_twophase(edges: DataFrame, max_iter: int = 50) -> Compo
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # converged when the edge set reached a fixpoint (stable star forest)
+        # converged when the edge set reached a fixpoint (stable star forest).
+        # ONE action per round: count(small) and |small \ e| piggybacked in
+        # the same left-join aggregate (both sets are distinct, so equality
+        # ⟺ same cardinality as last round AND no fresh pair). Replaces the
+        # old 3-action pattern (e.count + small.count + subtract.count, the
+        # subtract being a full extra shuffle each round).
         small = small.persist()
-        n_small = small.count()
-        changed = n_small != e.count() or small.subtract(e).count() > 0
+        stats = (
+            small.join(e.withColumn("_in_old", F.lit(1)), ["src", "dst"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("_in_old").isNull(), 1).otherwise(0)).alias("fresh"),
+            )
+            .first()
+        )
+        n_small = int(stats["n"])
+        changed = n_small != prev_n or int(stats["fresh"] or 0) > 0
+        prev_n = n_small
         old = e
         e = small
         old.unpersist()

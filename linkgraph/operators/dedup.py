@@ -107,19 +107,22 @@ def minhash_lsh(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.select(
-        F.col("id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(F.col("id").alias("a"), "band", "bucket")
+    right = banded.select(F.col("id").alias("b"), "band", "bucket")
+    # dedupe candidate pairs on bare (a, b) ids FIRST — carrying the k-long
+    # signature arrays (k·16 B/row) through the bucket self-join shuffle and
+    # the distinct would multiply shuffle volume ~30×; the signatures are
+    # re-attached once per surviving pair below
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .distinct()
     )
+    pairs = pairs.join(
+        sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a")), "a"
+    ).join(sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b")), "b")
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
     )

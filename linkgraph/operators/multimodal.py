@@ -152,12 +152,18 @@ def resize_plan(media: DataFrame, target: int = 224) -> DataFrame:
     columns; the pixel work belongs in the Arrow kernel when a decoder
     exists. Demonstrates metadata-only pushdown: no payload bytes move."""
     w, h = F.col("meta.width"), F.col("meta.height")
-    scale = F.lit(target) / F.least(w, h)
-    # floor, not round: identical across engines (round-half ties differ)
+    # The short side is pinned to exactly `target`; only the long side is
+    # scaled-and-floored. Computing the short side as floor(short * t/short)
+    # is an FP trap: e.g. 48 * (224.0/48) = 223.999...97 in float64, and
+    # floor breaks the min(out_w,out_h)==target contract. The long side is
+    # floor((long * t) / short) — integer product first, so the double
+    # division of two small exact ints is correctly rounded and floor-safe.
+    out_w = F.when(w <= h, F.lit(target)).otherwise(F.floor(w * target / h))
+    out_h = F.when(h <= w, F.lit(target)).otherwise(F.floor(h * target / w))
     return media.filter(F.col("kind") == "image").select(
         "media_id",
         w.alias("width"),
         h.alias("height"),
-        F.floor(w * scale).cast("int").alias("out_width"),
-        F.floor(h * scale).cast("int").alias("out_height"),
+        out_w.cast("int").alias("out_width"),
+        out_h.cast("int").alias("out_height"),
     )

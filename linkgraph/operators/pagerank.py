@@ -59,10 +59,23 @@ def pagerank_dataframe(
     check_convergence: bool = True,
     store=None,
     run_id: str | None = None,
+    family: str = "a",
 ) -> PageRankResult:
-    """Pure-DataFrame Family-A PageRank. ``store`` (optional
+    """Pure-DataFrame PageRank. ``store`` (optional
     linkgraph.checkpoint.CheckpointStore) snapshots ranks+metrics per
-    iteration and enables mid-convergence resume."""
+    iteration and enables mid-convergence resume.
+
+    ``family`` selects the reference's semantic family (SURVEY §2.8):
+    "a" (default) = the "custom" family with per-iteration dangling-mass
+    redistribution (pagerank_custom.h:70-87) — the reference's correctness
+    anchor; "b" = the "mtx/OCL" family: base term (1-d)/n only, mass leaks
+    through dangling vertices, one final sum-normalization after the loop
+    (/root/reference/kernels/sparse_matrix.cl:8-18 fixPROutput,
+    /root/reference/pagerank_OCL.h:156-161). On dangling graphs the two
+    differ at any fixed iteration count (the reference's production config);
+    their converged fixed points coincide after B's normalization."""
+    if family not in ("a", "b"):
+        raise ValueError(f"family must be 'a' or 'b', got {family!r}")
     spark = edges.sparkSession
 
     wedges = weighted_edges(edges).persist()
@@ -98,7 +111,10 @@ def pagerank_dataframe(
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.monotonic()
-        base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+        if family == "a":
+            base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+        else:  # Family B: plain teleport base, no dangling redistribution
+            base = (1.0 - d) / n
         # gather + row-reduce: SpMV as equi-join + hash aggregate
         contribs = (
             wedges.join(ranks.select("node", "rank"), wedges.src == F.col("node"), "inner")
@@ -138,8 +154,13 @@ def pagerank_dataframe(
 
     wedges.unpersist()
     state0.unpersist()
+    out_ranks = ranks.select("node", "rank")
+    if family == "b":
+        # final sum-normalization (pagerank_OCL.h:156-161): pr /= Σpr
+        total = float(out_ranks.agg(F.sum("rank")).first()[0])
+        out_ranks = out_ranks.withColumn("rank", F.col("rank") / F.lit(total))
     return PageRankResult(
-        ranks=ranks.select("node", "rank"),
+        ranks=out_ranks,
         iterations=it,
         norm=norm,
         converged=converged,
@@ -157,6 +178,7 @@ def pagerank_sharded(
     store=None,
     run_id: str | None = None,
     sharded_graph=None,
+    batch: bool | None = None,
 ) -> PageRankResult:
     """Fast path: Family-A PageRank over persisted CSR shards with a numpy
     gather-scatter kernel (plans/shards.py). Semantics identical to
@@ -185,7 +207,46 @@ def pagerank_sharded(
     converged = False
     metrics: list[dict] = []
     it = start_iter
-    for it in range(start_iter + 1, max_iter + 1):
+
+    # Regime pick ("shuffle partitioning tuned per iteration", north rule):
+    # below ~64M edges the whole CSR fits one worker's cache and the
+    # per-iteration Spark job floor (measured 0.2-0.6 s on this host)
+    # dwarfs the kernel, so k iterations are FUSED into one single-task job
+    # (bit-identical combine order, exact in-kernel L2 stop — iteration
+    # counts match the oracle). Larger graphs and checkpointed runs use the
+    # distributed per-iteration path below; the barrier engine covers the
+    # iteration-bound extreme.
+    use_batch = (
+        batch
+        if batch is not None
+        else g.m <= 64_000_000 and (store is None or run_id is None)
+    )
+    if use_batch:
+        while it < max_iter and not converged:
+            k = min(16, max_iter - it)
+            t0 = time.monotonic()
+            rank, norms, masses, nnz_total, kernel_ms = g.spmv_batch(
+                rank, k=k, d=d, eps=eps, check_convergence=check_convergence
+            )
+            job_ms = (time.monotonic() - t0) * 1e3
+            for j, (norm_j, mass_j) in enumerate(zip(norms, masses)):
+                it += 1
+                metrics.append(
+                    {
+                        "iteration": it,
+                        "norm": float(norm_j),
+                        "mass": float(mass_j),
+                        "wall_ms": job_ms / len(norms),
+                        "kernel_ms": kernel_ms / len(norms),
+                        "nnz": nnz_total // len(norms),
+                        "batched": len(norms),
+                    }
+                )
+            norm = float(norms[-1])
+            converged = bool(check_convergence and norm <= eps)
+
+    start_loop = it
+    for it in range(start_loop + 1, max_iter + 1) if not converged else []:
         t0 = time.monotonic()
         leaked = float(rank[g.dangling_mask].sum())
         base = (leaked + (1.0 - leaked) * (1.0 - d)) / n

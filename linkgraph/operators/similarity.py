@@ -85,7 +85,12 @@ def cosine_topk_arrow(
         kk = k
         for b in batches:
             nid = b.column(0).to_numpy(zero_copy_only=False)
-            vecs = np.stack(b.column(1).to_pylist()).astype(np.float64)
+            # zero-copy vector extraction: flatten the Arrow list buffer and
+            # reshape — no per-row Python objects (to_pylist + np.stack was
+            # row-at-a-time churn in an otherwise vectorized kernel)
+            col = b.column(1)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            vecs = flat.reshape(len(col), -1).astype(np.float64)
             vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
             sims = qm @ vecs.T  # (Q, B) GEMM — the whole kernel
             for qi in range(len(ids)):

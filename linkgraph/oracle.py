@@ -53,6 +53,40 @@ def pagerank_family_a(
     return rank, iters
 
 
+def pagerank_family_b(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    d: float = 0.85,
+    eps: float = 1e-6,
+    max_iter: int = 200,
+) -> tuple[np.ndarray, int]:
+    """Family-B ("mtx/OCL") semantics (SURVEY §2.8): per iteration
+    new = (1-d)/n + d*(M·old) with NO dangling-mass redistribution — mass
+    leaks through dangling vertices — followed by ONE final
+    sum-normalization pr /= Σpr after the loop.
+    (reference: /root/reference/kernels/sparse_matrix.cl:8-18 fixPROutput;
+    /root/reference/pagerank_OCL.h:120-121,156-161). On dangling graphs this
+    differs from Family A at any FIXED iteration count (the reference's
+    production config: CHECK_CONVERGENCE=0, 200 iterations) — though at full
+    convergence the normalized fixed points provably coincide."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    w = 1.0 / outdeg[src]
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, dst, rank[src] * w)
+        new = (1.0 - d) / n + d * contrib
+        norm = float(np.sqrt(((new - rank) ** 2).sum()))
+        rank = new
+        if norm <= eps:
+            break
+    return rank / rank.sum(), iters
+
+
 def connected_components(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray:
     """Undirected connected components; label = min vertex id in component."""
     parent = np.arange(n, dtype=np.int64)

@@ -224,6 +224,7 @@ def pagerank_barrier(
     dangling_idx = np.flatnonzero(g.dangling_mask)
     bc = sc.broadcast((rank0, dangling_idx, g.inv_od, node_ids if ckpt_root else None))
     path_of = dict(part_dirs)
+    build_token = g.build_token  # keys the worker shard cache per build
     parts_sized = sorted((part, _dir_bytes(path)) for part, path in part_dirs)
     tasks = list(range(P))
 
@@ -266,12 +267,44 @@ def pagerank_barrier(
 
         mesh = _Mesh(ctx, pid, P)
         try:
+            start = start_iter
+            if ckpt_root is not None:
+                # intra-job stage-retry resume: start_iter/rank0 were
+                # resolved ONCE on the driver and captured in the broadcast;
+                # a barrier stage retry restarts every task, so task 0
+                # re-reads the latest committed manifest iteration here and
+                # the mesh agrees on it via one startup allgather (never in
+                # the loop). Without this, a retry would redo work from the
+                # original vector (correct but not "resume").
+                payload = None
+                if pid == 0:
+                    import pyarrow.parquet as paq
+
+                    from linkgraph.checkpoint import ParquetManifestStore
+
+                    st = ParquetManifestStore(ckpt_root)
+                    li = st.latest_iteration(run_id)
+                    if li is not None and li > start:
+                        entry = next(
+                            e
+                            for e in st._read_manifest(run_id)["iterations"]
+                            if e["iteration"] == li
+                        )
+                        t = paq.read_table(entry["rank_path"])
+                        r = np.zeros(n, dtype=np.float64)
+                        r[np.searchsorted(ids, t.column("node").to_numpy())] = t.column(
+                            "rank"
+                        ).to_numpy()
+                        payload = (li, r)
+                resumed = mesh.allgather(payload).get(0)
+                if resumed is not None:
+                    start, rank = resumed[0], resumed[1].copy()
             my_metrics: list[dict] = []
             iter_log: list[dict] = []
-            it = start_iter
+            it = start
             norm = float("inf")
             converged = False
-            for it in range(start_iter + 1, max_iter + 1):
+            for it in range(start + 1, max_iter + 1):
                 t0 = time.monotonic()
                 # (1) SpMV partials over this iteration's assigned shards
                 # (shared CSR kernel; mmap-shared decoded arrays)
@@ -280,7 +313,7 @@ def pagerank_barrier(
                 per_shard = []
                 for part in mine_parts:
                     tk = time.monotonic()
-                    u, s, nnz = csr_partials(_load_shard(path_of[part]), w_rank)
+                    u, s, nnz = csr_partials(_load_shard(path_of[part], build_token), w_rank)
                     per_shard.append((u, s))
                     pmet.append(
                         {"part_id": part, "nnz": nnz, "rows": len(u),
@@ -384,15 +417,23 @@ def pagerank_barrier(
                 segs = mesh.exchange({q: (seg, dsq, pmet) for q in range(P) if q != pid})
                 new = np.empty(n, dtype=np.float64)
                 new[lo:hi] = seg
-                nsq = dsq
-                all_met = list(pmet)
-                met_by_pid = {pid: pmet}
-                for q in sorted(segs):
-                    qseg, qdsq, qmet = segs[q]
+                all_met_by_pid = {pid: pmet}
+                dsq_by_pid = {pid: dsq}
+                for q, (qseg, qdsq, qmet) in segs.items():
                     new[int(seg_bounds[q]):int(seg_bounds[q + 1])] = qseg
-                    nsq += qdsq
-                    all_met.extend(qmet)
-                    met_by_pid[q] = qmet
+                    dsq_by_pid[q] = qdsq
+                    all_met_by_pid[q] = qmet
+                # accumulate δ² in FIXED global pid order (own dsq included
+                # at its sorted position, not first): every task sums the
+                # same floats in the same order, so a last-ulp difference
+                # cannot make tasks disagree on `converged` — a divergent
+                # stop decision would deadlock the mesh. This restores the
+                # 'same floats, same order' invariant the replicate path has.
+                nsq = 0.0
+                all_met = []
+                for q in sorted(dsq_by_pid):
+                    nsq += dsq_by_pid[q]
+                    all_met.extend(all_met_by_pid[q])
                 rank = new
                 norm = float(np.sqrt(nsq))
                 converged = bool(check_convergence and norm <= eps)

@@ -93,10 +93,30 @@ def tune_shuffle_partitions(spark: SparkSession, m_edges: int, floor: int | None
     return p
 
 
+def _partition_offset_map(local: DataFrame, agg_col):
+    """Collect the tiny per-partition aggregate (≤ #partitions rows) and turn
+    it into a literal pid→exclusive-offset map column. Driver-side on
+    purpose: it removes every single-partition Exchange / global window from
+    the build plan — the n-row table is never funneled through one task.
+    ``local`` must be persisted so _pid stays consistent between this action
+    and later reuse."""
+    totals = {
+        r["_pid"]: r["_v"] for r in local.groupBy("_pid").agg(agg_col.alias("_v")).collect()
+    }
+    off, offsets = 0, {}
+    for pid in sorted(totals):
+        offsets[pid] = off
+        off += int(totals[pid] or 0)
+    if not offsets:
+        return F.lit(0)
+    return F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[F.col("_pid")]
+
+
 def _two_level_offsets(df: DataFrame, order_col: str) -> DataFrame:
     """Add [_pid, _local] position columns ordered by ``order_col`` without a
     global single-partition window: range-repartition, rank locally, compute
-    exclusive per-partition offsets from the tiny per-partition count table.
+    exclusive per-partition offsets from the tiny per-partition count table
+    (collected driver-side — no global window even over the tiny table).
     Returns df columns + [_pos] global 0-based position."""
     spark = df.sparkSession
     parts = max(2, spark.sparkContext.defaultParallelism)
@@ -106,14 +126,37 @@ def _two_level_offsets(df: DataFrame, order_col: str) -> DataFrame:
         "*",
         F.spark_partition_id().alias("_pid"),
         (F.row_number().over(w) - 1).alias("_local"),
-    ).persist()  # pin: _pid/_local must agree between counts and the join
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off")
-    )  # tiny table: one row per partition — broadcast join
-    return local.join(F.broadcast(offsets), "_pid").withColumn(
-        "_pos", F.col("_local") + F.col("_off")
+    ).persist()  # pin: _pid/_local must agree between the count action and reuse
+    off_expr = _partition_offset_map(local, F.count(F.lit(1)))
+    return local.withColumn("_pos", F.col("_local") + off_expr)
+
+
+def _two_level_prefix_sum(
+    df: DataFrame, order_col: str, weight_col: str, out_col: str = "_cum"
+) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of ``weight_col`` in ``order_col``
+    order — the value-weighted generalization of ``_two_level_offsets``
+    (SURVEY §4 X4 / O2: the CSR-rowptr CDF of pagerank_custom.h:128-134 done
+    distributed). Range-partition, local running sums, per-partition totals
+    collected driver-side into literal offsets. No single-partition Exchange
+    anywhere: survives n ≫ 10^7 where a global window would funnel the whole
+    vertex table through one task."""
+    spark = df.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(parts, order_col)
+    w = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("long").alias("_lcum"),
+    ).persist()  # pin: _pid/_lcum must agree between the totals action and reuse
+    off_expr = _partition_offset_map(local, F.sum(weight_col))
+    return local.withColumn(out_col, (F.col("_lcum") + off_expr).cast("long")).drop(
+        "_pid", "_lcum"
     )
 
 
@@ -124,21 +167,25 @@ def dense_index(df: DataFrame, col: str = "node") -> DataFrame:
     return _two_level_offsets(df.select(col), col).select(col, F.col("_pos").alias("idx"))
 
 
-_STEP_SCHEMA = (
-    "kind int, idx long, contrib double, part_id int, nnz long, rows long, wall_ms double"
-)
+# One row PER SHARD, partials packed as binary blobs: shipping n-sized
+# index/contrib arrays as Arrow buffers instead of n rows cuts the Python-
+# worker -> JVM return path from ~0.5M rows/s row-materialization to a
+# buffer copy (measured 150 ms -> ~10 ms at n=68k) — the driver unpacks
+# with np.frombuffer (zero-copy).
+_STEP_SCHEMA = "part_id int, idx binary, contrib binary, nnz long, rows long, wall_ms double"
 
-# Worker-process shard cache: {shard_path: (src_idx, dst_rel, lo)}.
-# Lives across iterations because Spark reuses Python workers; keys are
-# unique per build (fresh temp dir), so no staleness. Bounded LRU.
+# Worker-process shard cache: {(shard_path, build_token): decoded arrays}.
+# Lives across iterations because Spark reuses Python workers; the build
+# token (uuid written to meta.json) makes keys unique even when a caller
+# rebuilds into the same shard_dir within one app. Bounded LRU.
 # Shards carry NO per-edge weight: weight = 1/outdeg(src) is a function of
 # src, kept as one n-sized float64 array per task (see _load_inv_od) — this
 # cuts the per-edge memory stream from 24 B to 8 B (int32 src + int32 dst),
 # which is what the aggregate SpMV throughput is bound by at high core
 # counts. Float math is bit-identical: 1/outdeg is computed once either way.
-_SHARD_CACHE: dict[str, tuple] = {}
+_SHARD_CACHE: dict[tuple, tuple] = {}
 _SHARD_CACHE_MAX = 16
-_INV_CACHE: dict[str, np.ndarray] = {}
+_INV_CACHE: dict[tuple, np.ndarray] = {}
 
 
 def _decode_csr(path: str):
@@ -183,25 +230,31 @@ def load_csr_shard(path: str):
     return src_s, uniq, starts
 
 
-def _load_shard(path: str):
-    ent = _SHARD_CACHE.pop(path, None)
+def _load_shard(path: str, token: str = ""):
+    """Worker-cache lookup keyed by (path, build token): rebuilding into the
+    SAME shard_dir within one Spark app (jobs --shard-dir, bench_scaling)
+    must not serve the previous build's decoded arrays from a reused
+    worker."""
+    key = (path, token)
+    ent = _SHARD_CACHE.pop(key, None)
     if ent is None:
         ent = load_csr_shard(path)
-    _SHARD_CACHE[path] = ent  # re-insert = move to MRU (bounds open mmaps)
+    _SHARD_CACHE[key] = ent  # re-insert = move to MRU (bounds open mmaps)
     while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
         _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
     return ent
 
 
-def _load_inv_od(path: str) -> np.ndarray:
+def _load_inv_od(path: str, token: str = "") -> np.ndarray:
     """Static per-build 1/outdeg array (the hoisted COO data[] of
-    readers/mtx_sparse.h:123-132) — cached forever per worker (unique path
-    per build)."""
-    arr = _INV_CACHE.get(path)
+    readers/mtx_sparse.h:123-132) — cached per worker, keyed by
+    (path, build token) like _load_shard."""
+    key = (path, token)
+    arr = _INV_CACHE.get(key)
     if arr is None:
         if len(_INV_CACHE) > 4:
             _INV_CACHE.clear()
-        arr = _INV_CACHE[path] = np.load(path)
+        arr = _INV_CACHE[key] = np.load(path)
     return arr
 
 
@@ -219,7 +272,7 @@ def csr_partials(shard, w_rank: np.ndarray):
     return uniq, sums, len(src_s)
 
 
-def _make_step(rank_path: str, inv_od_path: str):
+def _make_step(rank_path: str, inv_od_path: str, token: str = ""):
     """Arrow kernel: rows are (part, path) shard descriptors. The rank
     vector is read from ``rank_path`` (rewritten atomically by the driver
     each iteration — the MPI_Allgatherv stand-in; one plan object serves
@@ -228,28 +281,96 @@ def _make_step(rank_path: str, inv_od_path: str):
 
     def step(batches):
         rank = np.load(rank_path)
-        inv_od = _load_inv_od(inv_od_path)
+        inv_od = _load_inv_od(inv_od_path, token)
         w_rank = rank * inv_od  # n ops once per task, not per edge
         for b in batches:
             parts = b.column("part").to_pylist()
             paths = b.column("path").to_pylist()
             for part, path in zip(parts, paths):
                 t0 = time.monotonic()
-                u, s, nnz = csr_partials(_load_shard(path), w_rank)
+                u, s, nnz = csr_partials(_load_shard(path, token), w_rank)
                 wall_ms = (time.monotonic() - t0) * 1e3
-                k = len(u)
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(np.concatenate([np.zeros(k, np.int32), np.array([1], np.int32)])),
-                        pa.array(np.concatenate([u.astype(np.int64), np.array([-1], np.int64)])),
-                        pa.array(np.concatenate([s, np.array([0.0])])),
-                        pa.array(np.full(k + 1, part, np.int32)),
-                        pa.array(np.concatenate([np.zeros(k, np.int64), np.array([nnz], np.int64)])),
-                        pa.array(np.concatenate([np.zeros(k, np.int64), np.array([k], np.int64)])),
-                        pa.array(np.concatenate([np.zeros(k), np.array([wall_ms])])),
+                        pa.array([part], pa.int32()),
+                        pa.array([u.astype(np.int64, copy=False).tobytes()], pa.binary()),
+                        pa.array([s.tobytes()], pa.binary()),
+                        pa.array([nnz], pa.int64()),
+                        pa.array([len(u)], pa.int64()),
+                        pa.array([wall_ms], pa.float64()),
                     ],
-                    names=["kind", "idx", "contrib", "part_id", "nnz", "rows", "wall_ms"],
+                    names=["part_id", "idx", "contrib", "nnz", "rows", "wall_ms"],
                 )
+
+    return step
+
+
+# k-batched fused-iteration job: ONE row back per job.
+_BATCH_SCHEMA = "rank binary, norms binary, masses binary, iterations int, nnz long, wall_ms double"
+
+
+def _make_batch_step(rank_path: str, ctl_path: str, inv_od_path: str, token: str):
+    """Arrow kernel for the small-graph fused regime: the single task holds
+    EVERY shard (worker-cached CSR — the reference's serial path,
+    pagerank_custom.h:59-96, re-hosted in a reused Python worker), runs up
+    to ctl.k Family-A iterations locally with the exact per-iteration L2
+    stop, and returns the final vector + per-iteration norms as blobs.
+
+    Why: at small m the distributed per-iteration loop is bound by the
+    ~0.2-0.6 s Spark job floor (measured), not the kernel; fusing k
+    iterations amortizes the floor k-fold. The combine (part-ascending
+    concat + np.bincount) replays the driver loop's float order exactly, so
+    results are bit-identical to the per-iteration path and iteration
+    counts match the numpy oracle."""
+
+    def step(batches):
+        rows = []
+        for b in batches:
+            rows.extend(zip(b.column("part").to_pylist(), b.column("path").to_pylist()))
+        rows.sort()  # part-ascending — the driver combine's concat order
+        rank = np.load(rank_path)
+        ctl = np.load(ctl_path)  # [k, d, eps, check_convergence]
+        k, d, eps, check = int(ctl[0]), float(ctl[1]), float(ctl[2]), bool(ctl[3])
+        inv_od = _load_inv_od(inv_od_path, token)
+        dang = np.flatnonzero(inv_od == 0.0)
+        n = len(rank)
+        shards = [(part, _load_shard(path, token)) for part, path in rows]
+        t0 = time.monotonic()
+        norms, masses = [], []
+        nnz_total = 0
+        for _ in range(k):
+            leaked = float(rank[dang].sum())
+            base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+            w_rank = rank * inv_od
+            us, ss = [], []
+            for _part, shard in shards:
+                u, s, nnz = csr_partials(shard, w_rank)
+                us.append(u)
+                ss.append(s)
+                nnz_total += nnz
+            idx = np.concatenate(us) if us else np.empty(0, np.int64)
+            con = np.concatenate(ss) if ss else np.empty(0, np.float64)
+            new = np.full(n, base, dtype=np.float64)
+            if len(idx):
+                new += d * np.bincount(idx, weights=con, minlength=n)
+            norm = float(np.sqrt(((new - rank) ** 2).sum()))
+            norms.append(norm)
+            rank = new
+            masses.append(float(rank.sum()))
+            if check and norm <= eps:
+                break
+        wall_ms = (time.monotonic() - t0) * 1e3
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([rank.tobytes()], pa.binary()),
+                pa.array([np.asarray(norms).tobytes()], pa.binary()),
+                pa.array([np.asarray(masses).tobytes()], pa.binary()),
+                pa.array([len(norms)], pa.int32()),
+                pa.array([nnz_total], pa.int64()),
+                pa.array([wall_ms], pa.float64()),
+            ],
+            names=["rank", "norms", "masses", "iterations", "nnz", "wall_ms"],
+        )
 
     return step
 
@@ -269,8 +390,10 @@ class ShardedGraph:
     num_shards: int
     hub_count: int
     hub_threshold: int
+    build_token: str = ""  # unique per build; keys the worker-side caches
     _owns_dir: bool = True
     _step_df: DataFrame | None = None
+    _batch_df: DataFrame | None = None
 
     @staticmethod
     def build(
@@ -316,18 +439,10 @@ class ShardedGraph:
             "idx", F.coalesce("in_deg", F.lit(0)).alias("in_deg")
         )
         per_bucket = max(1, math.ceil(m / n_buckets))
-        cdf = _two_level_offsets(deg_idx, "idx")  # ordered by idx
-        wcum = Window.partitionBy(F.lit(0)).orderBy("_pos").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        # exclusive CDF of in-degree => bucket = floor(cdf / per_bucket)
-        # (single-partition window over the n-row table is acceptable to
-        # n~10^7; beyond that reuse _two_level_offsets on a value prefix sum)
-        plan = cdf.select(
-            "idx",
-            "in_deg",
-            F.coalesce(F.sum("in_deg").over(wcum), F.lit(0)).alias("_cdf"),
-        ).select(
+        # exclusive CDF of in-degree => bucket = floor(cdf / per_bucket);
+        # fully distributed two-level prefix sum — no single-partition window
+        # over the n-row table (that was a hard scale-killer beyond n~10^7)
+        plan = _two_level_prefix_sum(deg_idx, "idx", "in_deg", "_cdf").select(
             F.col("idx").alias("dst_idx"),
             F.least(F.lit(n_buckets - 1), (F.col("_cdf") / per_bucket).cast("int")).alias(
                 "bucket"
@@ -388,10 +503,15 @@ class ShardedGraph:
             if d.startswith("part=")
         )
         # local relation (not an RDD-backed DF): feeding a handful of path
-        # rows per iteration must not spin up the Python-RDD machinery
+        # rows per iteration must not spin up the Python-RDD machinery.
+        # Step-task count = min(shards, cores): per-task dispatch is ~8 ms,
+        # so one task per shard (55 tasks) costs ~2x more wall than cores
+        # tasks at small scale; each task iterates its group of shard rows.
         shard_df = (
             spark.createDataFrame(part_dirs, "part int, path string")
-            .repartitionByRange(len(part_dirs), "part")
+            .repartitionByRange(
+                min(len(part_dirs), spark.sparkContext.defaultParallelism), "part"
+            )
             .persist()
         )
         shard_df.count()
@@ -411,12 +531,15 @@ class ShardedGraph:
         inv_od = np.where(dangling_mask, 0.0, 1.0 / np.where(dangling_mask, 1.0, out_deg))
         np.save(os.path.join(shard_dir, "inv_od.npy"), inv_od)
         np.save(os.path.join(shard_dir, "node_ids.npy"), node_ids)
-        with open(os.path.join(shard_dir, "meta.json"), "w") as f:
-            import json
+        import json
+        import uuid
 
+        build_token = uuid.uuid4().hex
+        with open(os.path.join(shard_dir, "meta.json"), "w") as f:
             json.dump(
                 {"n": n, "m": m, "num_shards": num_shards,
-                 "hub_count": hub_count, "hub_threshold": hub_threshold},
+                 "hub_count": hub_count, "hub_threshold": hub_threshold,
+                 "build_token": build_token},
                 f,
             )
         od.unpersist()
@@ -435,6 +558,7 @@ class ShardedGraph:
             num_shards=num_shards,
             hub_count=hub_count,
             hub_threshold=hub_threshold,
+            build_token=build_token,
             _owns_dir=owns,
         )
 
@@ -457,7 +581,9 @@ class ShardedGraph:
         )
         shard_df = (
             spark.createDataFrame(part_dirs, "part int, path string")
-            .repartitionByRange(len(part_dirs), "part")
+            .repartitionByRange(
+                min(len(part_dirs), spark.sparkContext.defaultParallelism), "part"
+            )
             .persist()
         )
         shard_df.count()
@@ -473,6 +599,9 @@ class ShardedGraph:
             num_shards=meta["num_shards"],
             hub_count=meta["hub_count"],
             hub_threshold=meta["hub_threshold"],
+            build_token=meta.get(
+                "build_token", str(os.path.getmtime(os.path.join(shard_dir, "meta.json")))
+            ),
             _owns_dir=False,
         )
 
@@ -496,16 +625,57 @@ class ShardedGraph:
         self._publish_rank(rank)
         if self._step_df is None:
             self._step_df = self.shard_df.mapInArrow(
-                _make_step(self.rank_path, os.path.join(self.shard_dir, "inv_od.npy")),
+                _make_step(
+                    self.rank_path,
+                    os.path.join(self.shard_dir, "inv_od.npy"),
+                    self.build_token,
+                ),
                 _STEP_SCHEMA,
             )
         pdf = self._step_df.toPandas()
-        contribs = pdf[pdf["kind"] == 0]
-        metrics = pdf[pdf["kind"] == 1][["part_id", "nnz", "rows", "wall_ms"]]
+        if len(pdf):
+            idx = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in pdf["idx"]])
+            contrib = np.concatenate(
+                [np.frombuffer(b, dtype=np.float64) for b in pdf["contrib"]]
+            )
+        else:  # pragma: no cover — empty graphs are rejected at build
+            idx = np.empty(0, np.int64)
+            contrib = np.empty(0, np.float64)
+        return idx, contrib, pdf[["part_id", "nnz", "rows", "wall_ms"]]
+
+    @property
+    def ctl_path(self) -> str:
+        return os.path.join(self.shard_dir, "batch_ctl.npy")
+
+    def spmv_batch(self, rank: np.ndarray, k: int, d: float, eps: float,
+                   check_convergence: bool = True):
+        """Run up to ``k`` fused Family-A iterations in ONE single-task Spark
+        job (see _make_batch_step). Returns (rank, norms, masses, nnz_total,
+        kernel_wall_ms). Intended for the small-graph regime where the whole
+        CSR fits one worker's cache — pagerank_sharded picks the regime."""
+        self._publish_rank(rank)
+        ctl = np.array([float(k), d, eps, 1.0 if check_convergence else 0.0])
+        tmp = self.ctl_path + ".tmp.npy"
+        np.save(tmp, ctl)
+        os.replace(tmp, self.ctl_path)
+        if self._batch_df is None:
+            feed = self.shard_df.coalesce(1)
+            self._batch_df = feed.mapInArrow(
+                _make_batch_step(
+                    self.rank_path,
+                    self.ctl_path,
+                    os.path.join(self.shard_dir, "inv_od.npy"),
+                    self.build_token,
+                ),
+                _BATCH_SCHEMA,
+            )
+        row = self._batch_df.toPandas().iloc[0]
         return (
-            contribs["idx"].to_numpy(),
-            contribs["contrib"].to_numpy(),
-            metrics,
+            np.frombuffer(row["rank"], dtype=np.float64).copy(),
+            np.frombuffer(row["norms"], dtype=np.float64),
+            np.frombuffer(row["masses"], dtype=np.float64),
+            int(row["nnz"]),
+            float(row["wall_ms"]),
         )
 
     def unpersist(self):

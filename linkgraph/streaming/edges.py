@@ -64,17 +64,30 @@ def _reply_edge_fn(
         state.remove()
         return
     last_turn, last_actor = state.get if state.exists else (-1, None)
+    # applyInPandasWithState may deliver one group's rows as several chunks
+    # with no ordering guarantee between them — concatenate first, sort ONCE
+    # by turn_idx, then apply the lag logic (bounded per group per microbatch).
+    chunks = [p for p in pdfs if len(p)]
     frames = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
-        if not len(pdf):
-            continue
-        # vectorized lag with the carried state stitched in as row -1
-        prev_turn = pdf["turn_idx"].shift(1, fill_value=last_turn)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values("turn_idx", kind="stable").reset_index(drop=True)
+        # turns at-or-before the carried frontier are duplicates / late
+        # out-of-order arrivals; the batch global ordering cannot be
+        # recovered retroactively, so they are dropped (documented
+        # at-least-once semantics for out-of-order sources)
+        pdf = pdf[pdf["turn_idx"] > last_turn].reset_index(drop=True)
+    else:
+        pdf = pd.DataFrame()
+    if len(pdf):
+        # POSITIONAL lag, mirroring the batch rule (sources/transcripts.py
+        # derive_edges: lag over ORDER BY turn_idx): every adjacent-in-order
+        # pair yields an edge regardless of turn_idx gaps — filtered/sparse
+        # turn indices must not silently drop edges.
         prev_actor = pdf["role"].shift(1)
         if last_actor is not None:
             prev_actor.iloc[0] = last_actor
-        reply = pdf["turn_idx"].eq(prev_turn + 1) & prev_actor.notna()
+        reply = prev_actor.notna()
         frames.append(
             pd.DataFrame(
                 {"src_name": pdf.loc[reply, "role"], "dst_name": prev_actor[reply]}

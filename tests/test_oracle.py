@@ -1,14 +1,16 @@
-"""Sanity-check the numpy oracles themselves against analytic truths and
-networkx (mirrors the reference's compare_pagerank.py golden test,
-/root/reference/py_src/compare_pagerank.py:20-40, tightened to 1e-6)."""
+"""Sanity-check the numpy oracles themselves against analytic truths and an
+ALWAYS-ON vendored dense-matrix golden (mirrors the reference's
+compare_pagerank.py golden test, /root/reference/py_src/compare_pagerank.py:
+20-40, tightened to 1e-6). Nothing in this module skips: the independent
+golden is the 20-line dense Google-matrix power iteration below, not an
+optional library. A networkx cross-check runs additionally when
+networkx+scipy happen to be installed."""
 
 import numpy as np
 import pytest
 
 from linkgraph.oracle import connected_components, pagerank_family_a, triangle_count
 from tests import conftest as fx
-
-nx = pytest.importorskip("networkx")
 
 
 def test_cycle_uniform():
@@ -56,6 +58,21 @@ def test_chain_dangling_vs_independent_dense_oracle():
     r, _ = pagerank_family_a(src, dst, n, eps=1e-13, max_iter=5000)
     truth = dense_google_matrix_pagerank(src, dst, n, iters=5000)
     assert np.allclose(r, truth, atol=1e-10, rtol=0)
+
+
+def test_karate_vs_networkx_golden():
+    """Optional extra golden (the reference's compare_pagerank.py test):
+    runs only where networkx+scipy exist; the dense-matrix golden above is
+    the always-on independent oracle."""
+    nx = pytest.importorskip("networkx")
+    pytest.importorskip("scipy")
+    src, dst, n = fx.karate_club()  # multi-edge-free: nx.DiGraph dedupes
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    truth = nx.pagerank(g, alpha=0.85, tol=1e-12, max_iter=500)
+    r, _ = pagerank_family_a(src, dst, n, eps=1e-12, max_iter=2000)
+    assert np.allclose(r, np.array([truth[i] for i in range(n)]), atol=1e-6, rtol=0)
 
 
 def test_components_oracle():

@@ -91,3 +91,52 @@ def test_top_k_ordering(spark):
     oracle, _ = pagerank_family_a(src, dst, n, eps=1e-9)
     expect = sorted(range(n), key=lambda i: (-oracle[i], i))[:5]
     assert [r["node"] for r in rows] == expect
+
+
+def test_family_b_matches_its_oracle_and_differs_from_a(spark):
+    """Family-B (mtx/OCL semantics: no in-loop dangling redistribution,
+    final sum-normalization — pagerank_OCL.h:156-161,
+    kernels/sparse_matrix.cl:8-18) must match the Family-B numpy oracle and
+    DIFFER from Family A on a dangling graph under the reference's own
+    production config — FIXED iteration count, convergence check off
+    (global_config.h:8-10). The comparison runs mid-transient on purpose:
+    at FULL convergence the normalized Family-B fixed point provably
+    satisfies the Family-A fixed-point equation (sum both sides: the
+    normalization constant absorbs the leaked mass), so the converged
+    vectors coincide — the families only disagree while mass is still
+    leaking, which is the regime the reference actually ships
+    (SURVEY §2.8; the families are never cross-compared there,
+    main_ocl.c:113-117)."""
+    from linkgraph.oracle import pagerank_family_b
+
+    src, dst, n = fx.toy_chain_dangling()
+    df = fx.edges_df(spark, src, dst)
+    iters = 12
+    res_b = pagerank_dataframe(df, max_iter=iters, check_convergence=False, family="b")
+    got_b = {r["node"]: r["rank"] for r in res_b.ranks.collect()}
+    oracle_b, _ = pagerank_family_b(src, dst, n, eps=0.0, max_iter=iters)
+    present = sorted(set(src.tolist()) | set(dst.tolist()))
+    assert np.allclose(
+        np.array([got_b[i] for i in present]), oracle_b[present], atol=1e-6, rtol=0
+    )
+    # normalized: Family-B output sums to 1 after the final division
+    assert abs(sum(got_b.values()) - 1.0) < 1e-9
+    # and the two families disagree mid-transient on this dangling fixture
+    oracle_a, _ = pagerank_family_a(src, dst, n, eps=0.0, max_iter=iters)
+    assert not np.allclose(oracle_a[present], oracle_b[present], atol=1e-6, rtol=0)
+    # ... while the CONVERGED vectors coincide (the identity argued above)
+    conv_a, _ = pagerank_family_a(src, dst, n, eps=1e-13, max_iter=2000)
+    conv_b, _ = pagerank_family_b(src, dst, n, eps=1e-13, max_iter=2000)
+    assert np.allclose(conv_a, conv_b, atol=1e-9, rtol=0)
+
+
+def test_family_b_equals_a_on_dangling_free_graph(spark):
+    """With no dangling vertices, Family B's leak is zero and its final
+    normalization is a no-op — the two families converge to the same vector
+    (sanity pin for the family flag)."""
+    from linkgraph.oracle import pagerank_family_b
+
+    src, dst, n = fx.toy_cycle()
+    oracle_a, _ = pagerank_family_a(src, dst, n, eps=1e-12, max_iter=500)
+    oracle_b, _ = pagerank_family_b(src, dst, n, eps=1e-12, max_iter=500)
+    assert np.allclose(oracle_a, oracle_b, atol=1e-9, rtol=0)
