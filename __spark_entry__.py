@@ -420,6 +420,87 @@ def q_decode_features(spark, sf_dir):
     )
 
 
+def _dec(col):
+    """Money math in DECIMAL: double->decimal(18,6) is tie-free (no binary
+    double lands exactly on a 1e-6 tie), so both engines round identically
+    and the subsequent sums are EXACT — cross-engine hash-equal without FP
+    summation-order tolerance games."""
+    return F.col(col).cast("decimal(18,6)")
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-shape pricing summary: pushed-down date predicate -> hash
+    aggregate (partial+final automatic). Relational-breadth coverage over
+    the star-schema tables."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-31"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))),
+                2,
+            ).cast("double").alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_top_customers(spark, sf_dir):
+    """3-way join (lineitem ⋈ orders ⋈ broadcast customer) -> revenue per
+    customer -> deterministic top-10 (window rank, tie-break on key)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    w = Window.orderBy(F.desc("_rev"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "c_custkey", "c_name",
+            F.round("_rev", 2).cast("double").alias("revenue"), "rank",
+        )
+    )
+
+
+def q_tpch_nation_window(spark, sf_dir):
+    """Join to dimensions + monthly rollup + cumulative window per nation
+    (running revenue) — window-function coverage over the star schema."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name", F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.select(
+        "n_name",
+        "month",
+        F.round("_rev", 2).cast("double").alias("revenue"),
+        F.round(F.sum("_rev").over(w), 2).cast("double").alias("cum_revenue"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank over the event-derived graph at sf0.001,
     top-20 actors by rank."""
@@ -459,6 +540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_plan": q_resize_plan,
         "frame_sample": q_frame_sample,
         "decode_features": q_decode_features,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_top_customers": q_tpch_top_customers,
+        "tpch_nation_window": q_tpch_nation_window,
     }
 
 
@@ -715,6 +799,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        "tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                  * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_top_customers": """
+            WITH rev AS (
+                SELECT c_custkey, c_name,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS r
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_custkey, c_name
+            )
+            SELECT c_custkey, c_name, CAST(round(r, 2) AS DOUBLE) AS revenue,
+                   CAST(row_number() OVER (ORDER BY r DESC, c_custkey ASC) AS INT) AS rank
+            FROM rev
+            QUALIFY rank <= 10
+        """,
+        "tpch_nation_window": """
+            WITH monthly AS (
+                SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                       sum(CAST(o_totalprice AS DECIMAL(18,6))) AS r
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT n_name, month,
+                   CAST(round(r, 2) AS DOUBLE) AS revenue,
+                   CAST(round(sum(r) OVER (PARTITION BY n_name ORDER BY month
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_revenue
+            FROM monthly
         """,
     }
     # the two-phase algorithm must produce byte-identical components

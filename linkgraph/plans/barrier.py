@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import shutil
 import socket
 import struct
 import threading
@@ -225,6 +226,12 @@ def pagerank_barrier(
     bc = sc.broadcast((rank0, dangling_idx, g.inv_od, node_ids if ckpt_root else None))
     path_of = dict(part_dirs)
     build_token = g.build_token  # keys the worker shard cache per build
+    import uuid
+
+    # per-run claim directory for intra-iteration work stealing (replicate
+    # path): lives next to the shards (same shared-storage assumption);
+    # O_CREAT|O_EXCL claim files are atomic on POSIX and NFSv4
+    claims_root = os.path.join(g.shard_dir, "claims", uuid.uuid4().hex)
     parts_sized = sorted((part, _dir_bytes(path)) for part, path in part_dirs)
     tasks = list(range(P))
 
@@ -264,6 +271,36 @@ def pagerank_barrier(
             load[q] += size_of[part]
             if q == pid:
                 mine_parts.append(part)
+
+        # Work stealing (replicate path only): the static LPT assignment is
+        # each task's PREFERENCE, not its obligation. Per iteration each
+        # shard is claimed exactly once via an O_EXCL file create; a task
+        # whose vCPU stalls (this hypervisor freezes vCPUs for 100s of ms)
+        # loses its unclaimed shards to peers instead of serializing the
+        # whole gang behind its kernel work — only its (tiny) allgather
+        # message is still waited on. Results stay BIT-identical for every
+        # claim outcome because the combine below concatenates partials in
+        # canonical part-ascending order, not arrival/owner order. The
+        # non-replicate (large-n) path keeps the static assignment: its
+        # partials are routed by segment owner and stealing would only
+        # re-route the same bytes.
+        steal = replicate and P > 1
+        mine_set = set(mine_parts)
+        pref_order = mine_parts + [p for p in order_desc if p not in mine_set]
+        if steal:
+            os.makedirs(claims_root, exist_ok=True)
+
+        def _claimed(it_no: int, part: int) -> bool:
+            try:
+                os.close(
+                    os.open(
+                        os.path.join(claims_root, f"it{it_no}_p{part}"),
+                        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                    )
+                )
+                return True
+            except FileExistsError:
+                return False
 
         mesh = _Mesh(ctx, pid, P)
         try:
@@ -306,39 +343,46 @@ def pagerank_barrier(
             converged = False
             for it in range(start + 1, max_iter + 1):
                 t0 = time.monotonic()
-                # (1) SpMV partials over this iteration's assigned shards
-                # (shared CSR kernel; mmap-shared decoded arrays)
+                # (1) SpMV partials over this iteration's shards: claimed
+                # (steal path) or statically assigned (shared CSR kernel;
+                # worker-cached decoded arrays)
                 w_rank = rank * inv_od
                 pmet = []
-                per_shard = []
-                for part in mine_parts:
+                per_shard = []  # (part, u, s)
+                for part in (pref_order if steal else mine_parts):
+                    if steal and not _claimed(it, part):
+                        continue
                     tk = time.monotonic()
                     u, s, nnz = csr_partials(_load_shard(path_of[part], build_token), w_rank)
-                    per_shard.append((u, s))
+                    per_shard.append((part, u, s))
                     pmet.append(
                         {"part_id": part, "nnz": nnz, "rows": len(u),
-                         "wall_ms": (time.monotonic() - tk) * 1e3}
+                         "wall_ms": (time.monotonic() - tk) * 1e3,
+                         "stolen": part not in mine_set}
                     )
                 t_kernel = time.monotonic()
 
                 if replicate:
                     # one allgather of partials; every task combines the
-                    # full vector (same floats, same pid order => identical
-                    # stop decisions and checkpoint-equal vectors)
-                    own_u = (
-                        np.concatenate([u for u, _ in per_shard])
-                        if per_shard else np.empty(0, np.int64)
-                    )
-                    own_s = (
-                        np.concatenate([s for _, s in per_shard])
-                        if per_shard else np.empty(0, np.float64)
-                    )
-                    blocks = mesh.allgather((own_u, own_s, pmet))
+                    # full vector in canonical part-ascending order (same
+                    # floats, same order regardless of who computed what =>
+                    # identical stop decisions, checkpoint-equal vectors,
+                    # and results invariant to claim outcomes AND to P)
+                    blocks = mesh.allgather((per_shard, pmet))
                     t_route = time.monotonic()
                     order = sorted(blocks)
-                    all_u = np.concatenate([blocks[q][0] for q in order])
-                    all_s = np.concatenate([blocks[q][1] for q in order])
-                    all_met = [mm for q in order for mm in blocks[q][2]]
+                    flat = sorted(
+                        (t for q in order for t in blocks[q][0]), key=lambda x: x[0]
+                    )
+                    all_u = (
+                        np.concatenate([u for _p, u, _s in flat])
+                        if flat else np.empty(0, np.int64)
+                    )
+                    all_s = (
+                        np.concatenate([s for _p, _u, s in flat])
+                        if flat else np.empty(0, np.float64)
+                    )
+                    all_met = [mm for q in order for mm in blocks[q][1]]
                     leaked = float(rank[dang_idx].sum())
                     base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
                     new = np.full(n, base, dtype=np.float64)
@@ -377,20 +421,20 @@ def pagerank_barrier(
                 # round 1 — the scatter half of Allgatherv); each shard's
                 # uniq-dst array is sorted, so the slice owned by task q is
                 # one searchsorted range
-                shard_routes = [np.searchsorted(u, seg_bounds) for (u, _s) in per_shard]
+                shard_routes = [np.searchsorted(u, seg_bounds) for (_p, u, _s) in per_shard]
                 outgoing = {}
                 for q in range(P):
                     if q == pid:
                         continue
                     pieces = [
                         (u[c[q]:c[q + 1]], s[c[q]:c[q + 1]])
-                        for (u, s), c in zip(per_shard, shard_routes)
+                        for (_p, u, s), c in zip(per_shard, shard_routes)
                         if c[q + 1] > c[q]
                     ]
                     outgoing[q] = pieces
                 mine = [
                     (u[c[pid]:c[pid + 1]], s[c[pid]:c[pid + 1]])
-                    for (u, s), c in zip(per_shard, shard_routes)
+                    for (_p, u, s), c in zip(per_shard, shard_routes)
                     if c[pid + 1] > c[pid]
                 ]
                 received = mesh.exchange(outgoing)
@@ -466,6 +510,10 @@ def pagerank_barrier(
             yield {"kind": "task", "pid": pid, "metrics": my_metrics}
         finally:
             mesh.close()
+            if steal and pid == 0:
+                # safe: every task has finished its final claims before
+                # pid 0's last allgather could complete
+                shutil.rmtree(claims_root, ignore_errors=True)
 
     out = sc.parallelize(tasks, P).barrier().mapPartitions(run).collect()
     bc.destroy()
