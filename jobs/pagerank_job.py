@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--run-id", default=None)
     p.add_argument("--output", default=None, help="parquet path for the rank table")
     p.add_argument("--top-k", type=int, default=0, help="also print top-k actors")
+    p.add_argument(
+        "--mesh", default=None, choices=["auto", "tcp", "shm"],
+        help="barrier mesh transport (default auto: shm when the gang "
+             "shares one host, else TCP full mesh)")
     args = p.parse_args(argv)
 
     # Session: when launched by spark-submit the master/conf come from the
@@ -110,6 +114,9 @@ def main(argv: list[str] | None = None) -> dict:
         m = g.m
         build_sec = time.monotonic() - t0
         fn = pagerank_barrier if args.strategy == "barrier" else pagerank_sharded
+        kw = {"mesh_transport": args.mesh} if (
+            args.strategy == "barrier" and args.mesh
+        ) else {}
         t0 = time.monotonic()
         res = fn(
             edges,
@@ -120,6 +127,7 @@ def main(argv: list[str] | None = None) -> dict:
             store=store,
             run_id=args.run_id,
             sharded_graph=g,
+            **kw,
         )
         wall = time.monotonic() - t0
         g.unpersist()

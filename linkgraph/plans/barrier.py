@@ -17,9 +17,13 @@ contiguous node blocks per rank             | each task OWNS a contiguous
                                             | of the rank vector
 per-rank partial SpMV + OpenMP              | per-task numpy CSR kernel
 (pagerank_custom_mpi.h:53-60)               | (plans/shards.py csr_partials)
-MPI_Allgatherv re-materializes the dense    | two full-mesh TCP rounds per
-vector on every rank every iteration        | iteration: (1) partial sums
-(pagerank_custom_mpi.h:62-63)               | routed to their segment OWNER,
+MPI_Allgatherv re-materializes the dense    | two full-mesh rounds per
+vector on every rank every iteration        | iteration (shm files intra-host,
+(pagerank_custom_mpi.h:62-63)               | TCP sockets across hosts — the
+                                            | same-node/cross-node transport
+                                            | split every MPI stack makes):
+                                            | (1) partial sums
+                                            | routed to their segment OWNER,
                                             | (2) updated segments allgathered
                                             | — O(n/P) per link, all links in
                                             | parallel (the star variant's
@@ -54,6 +58,7 @@ import pickle
 import shutil
 import socket
 import struct
+import uuid
 import threading
 import time
 
@@ -96,26 +101,140 @@ def _dir_bytes(path: str) -> int:
     )
 
 
+class _ShmMesh:
+    """Intra-host transport: pickled messages through files on a tmpfs
+    (/dev/shm), write-to-tmp-then-rename for atomicity, spin-then-sleep
+    polling for arrival. The MPI precedent is the shared-memory BTL every
+    MPI stack selects for same-node ranks — the TCP mesh below stays the
+    multi-host data plane, but when every barrier task lands on one host
+    (always true on local[N]; common for small gangs on big executors) the
+    single-round file exchange replaces log2(P) sequential TCP rounds and
+    cuts the per-iteration sync floor by ~an order of magnitude at P=32.
+
+    Collectives are SPMD-ordered (every task calls the same sequence of
+    exchange/allgather), so a per-instance sequence number names each
+    round's files. A task deletes its OWN files two rounds back — by then
+    every reader has provably consumed them (reaching round k requires
+    having completed round k-1, which requires having read all round k-2
+    inputs)."""
+
+    def __init__(self, pid: int, P: int, root: str):
+        self.pid = pid
+        self.P = P
+        self.root = root
+        self.seq = 0
+        self._mine: list[list[str]] = []  # my files per round, for cleanup
+        os.makedirs(root, exist_ok=True)
+
+    def _write(self, name: str, obj) -> str:
+        path = os.path.join(self.root, name)
+        tmp = path + f".tmp{self.pid}"
+        with open(tmp, "wb") as f:
+            f.write(pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL))
+        os.rename(tmp, path)
+        return path
+
+    def _read(self, name: str, deadline: float):
+        path = os.path.join(self.root, name)
+        sleep = 0.0
+        while True:
+            try:
+                with open(path, "rb") as f:
+                    return pickle.load(f)
+            except FileNotFoundError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"shm mesh: {name} never arrived")
+                if sleep:
+                    time.sleep(sleep)
+                    sleep = min(0.002, sleep * 2)
+                else:
+                    spin_until = time.monotonic() + 0.001
+                    while time.monotonic() < spin_until and not os.path.exists(path):
+                        pass
+                    sleep = 0.0002
+
+    def _round_files(self, written: list[str]):
+        self._mine.append(written)
+        self.seq += 1
+        if len(self._mine) > 2:
+            for path in self._mine.pop(0):
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
+    def exchange(self, outgoing: dict[int, object]):
+        if self.P == 1:
+            return {}
+        k = self.seq
+        written = [
+            self._write(f"s{k}_p{self.pid}_to_{q}", msg)
+            for q, msg in outgoing.items()
+        ]
+        deadline = time.monotonic() + 600
+        got = {
+            q: self._read(f"s{k}_p{q}_to_{self.pid}", deadline)
+            for q in range(self.P)
+            if q != self.pid
+        }
+        self._round_files(written)
+        return got
+
+    def allgather(self, payload) -> dict[int, object]:
+        if self.P == 1:
+            return {self.pid: payload}
+        k = self.seq
+        written = [self._write(f"s{k}_p{self.pid}", payload)]
+        deadline = time.monotonic() + 600
+        got = {
+            q: self._read(f"s{k}_p{q}", deadline)
+            for q in range(self.P)
+            if q != self.pid
+        }
+        got[self.pid] = payload
+        self._round_files(written)
+        return got
+
+    def close(self):
+        # A task must NOT delete its recent files here — a slower peer may
+        # still be reading the final round (deleting would turn its read
+        # into a spin-until-timeout). Instead each task drops a depart
+        # marker; pid 0 waits for all markers (bounded) and sweeps the dir.
+        try:
+            self._write(f"done_p{self.pid}", True)
+        except OSError:
+            pass
+        if self.pid == 0:
+            deadline = time.monotonic() + 600
+            try:
+                for q in range(1, self.P):
+                    self._read(f"done_p{q}", deadline)
+            except (TimeoutError, OSError):
+                pass  # a dead peer fails the stage anyway; still sweep
+            shutil.rmtree(self.root, ignore_errors=True)
+
+
 class _Mesh:
     """Full-mesh peer connections among the P barrier tasks, established via
     one allGather of listening endpoints (the only use of Spark's barrier
     sync — it has a ~1 s floor, so the loop never touches it)."""
 
-    def __init__(self, ctx, pid: int, P: int):
+    def __init__(self, ctx, pid: int, P: int, server=None, addrs=None):
         self.pid = pid
         self.P = P
         self.conns: dict[int, socket.socket] = {}
-        self._server = None
+        self._server = server
         if P == 1:
             return
-        host = socket.gethostbyname(socket.gethostname())
-        self._server = socket.create_server(("", 0))
-        self._server.settimeout(600)
-        port = self._server.getsockname()[1]
-        addrs = ctx.allGather(f"{host}:{port}")
+        if self._server is None:
+            host = socket.gethostbyname(socket.gethostname())
+            self._server = socket.create_server(("", 0))
+            self._server.settimeout(600)
+            port = self._server.getsockname()[1]
+            addrs = ctx.allGather(f"{host}:{port}")
         # connect to lower pids; accept from higher pids
         for q in range(pid):
-            h, p = addrs[q].rsplit(":", 1)
+            h, p = addrs[q].split(":")[:2]
             s = socket.create_connection((h, int(p)), timeout=600)
             s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             _send_msg(s, {"pid": pid})
@@ -181,6 +300,44 @@ class _Mesh:
             self._server.close()
 
 
+def _make_mesh(ctx, pid: int, P: int, mode: str = "auto"):
+    """Transport selection, decided identically on every task from ONE
+    barrier allGather advertising (host, tcp port, shm-writable, uuid):
+    same host everywhere + writable /dev/shm => _ShmMesh (single-round
+    tmpfs file exchange, MPI's same-node shared-memory BTL analogue);
+    otherwise the TCP full mesh. mode ("auto"|"tcp"|"shm", default from
+    LINKGRAPH_MESH at the driver) forces a choice — tests use it for
+    transport-parity assertions."""
+    if P == 1 or mode == "tcp":
+        return _Mesh(ctx, pid, P)
+    host = socket.gethostbyname(socket.gethostname())
+    server = socket.create_server(("", 0))
+    server.settimeout(600)
+    port = server.getsockname()[1]
+    shm_ok = os.access("/dev/shm", os.W_OK)
+    token = uuid.uuid4().hex if pid == 0 else "-"
+    ads = ctx.allGather(f"{host}:{port}:{int(shm_ok)}:{token}")
+    same_host = len({a.split(":")[0] for a in ads}) == 1
+    all_shm = all(a.split(":")[2] == "1" for a in ads)
+    if mode == "shm" or (same_host and all_shm):
+        server.close()
+        if pid == 0:
+            # insurance against leaked dirs from hard-killed runs (a stage
+            # retry re-rendezvouses under a fresh uuid): sweep stale roots
+            now = time.time()
+            for name in os.listdir("/dev/shm"):
+                if name.startswith("lg_mesh_"):
+                    p = os.path.join("/dev/shm", name)
+                    try:
+                        if now - os.path.getmtime(p) > 7200:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        pass
+        root = os.path.join("/dev/shm", "lg_mesh_" + ads[0].split(":")[3])
+        return _ShmMesh(pid, P, root)
+    return _Mesh(ctx, pid, P, server=server, addrs=ads)
+
+
 def pagerank_barrier(
     edges=None,
     d: float = 0.85,
@@ -193,6 +350,8 @@ def pagerank_barrier(
     run_id: str | None = None,
     sharded_graph: ShardedGraph | None = None,
     checkpoint_interval: int = 1,
+    mesh_transport: str | None = None,
+    replicate: bool | None = None,
 ):
     """Family-A PageRank (semantics of operators/pagerank.py, SURVEY §2.8)
     with the entire iteration loop inside one barrier stage. Returns a
@@ -226,12 +385,12 @@ def pagerank_barrier(
     bc = sc.broadcast((rank0, dangling_idx, g.inv_od, node_ids if ckpt_root else None))
     path_of = dict(part_dirs)
     build_token = g.build_token  # keys the worker shard cache per build
-    import uuid
 
     # per-run claim directory for intra-iteration work stealing (replicate
     # path): lives next to the shards (same shared-storage assumption);
     # O_CREAT|O_EXCL claim files are atomic on POSIX and NFSv4
     claims_root = os.path.join(g.shard_dir, "claims", uuid.uuid4().hex)
+    transport = mesh_transport or os.environ.get("LINKGRAPH_MESH", "auto")
     parts_sized = sorted((part, _dir_bytes(path)) for part, path in part_dirs)
     tasks = list(range(P))
 
@@ -253,7 +412,7 @@ def pagerank_barrier(
         #   and 2·log2(P) messages beat 4·(P-1) (latency dominates).
         # * large n: route partials to segment owners, allgather segments —
         #   replicated combine would cost O(n) numpy + O(n·P) traffic.
-        replicate = n <= (1 << 19)
+        rep = replicate if replicate is not None else n <= (1 << 19)
 
         # Static deterministic LPT assignment, identical on every task:
         # shards sorted by bytes desc, each assigned to the least-loaded
@@ -284,7 +443,7 @@ def pagerank_barrier(
         # non-replicate (large-n) path keeps the static assignment: its
         # partials are routed by segment owner and stealing would only
         # re-route the same bytes.
-        steal = replicate and P > 1
+        steal = rep and P > 1
         mine_set = set(mine_parts)
         pref_order = mine_parts + [p for p in order_desc if p not in mine_set]
         if steal:
@@ -302,7 +461,7 @@ def pagerank_barrier(
             except FileExistsError:
                 return False
 
-        mesh = _Mesh(ctx, pid, P)
+        mesh = _make_mesh(ctx, pid, P, transport)
         try:
             start = start_iter
             if ckpt_root is not None:
@@ -362,7 +521,7 @@ def pagerank_barrier(
                     )
                 t_kernel = time.monotonic()
 
-                if replicate:
+                if rep:
                     # one allgather of partials; every task combines the
                     # full vector in canonical part-ascending order (same
                     # floats, same order regardless of who computed what =>
