@@ -501,6 +501,115 @@ def q_tpch_nation_window(spark, sf_dir):
     )
 
 
+def q_ppr_step(spark, sf_dir):
+    """Two personalized-PageRank steps (teleport + leaked dangling mass to
+    the user-node distribution) over the bipartite user->event-type graph.
+    Two steps so the dangling redistribution term is exercised: after step
+    one, mass sits on the (dangling) event-type nodes."""
+    from linkgraph.operators.pagerank import personalized_pagerank
+
+    edges = _bipartite_edges(spark, sf_dir)
+    sources = edges.select(F.col("src").alias("node")).distinct()
+    res = personalized_pagerank(
+        edges, sources, max_iter=2, check_convergence=False
+    )
+    return res.ranks.select(
+        F.col("node").alias("node_name"), F.round("rank", 8).alias("rank2")
+    )
+
+
+def q_hits_step(spark, sf_dir):
+    """One HITS iteration (L1-normalized authorities then hubs) over the
+    event-type transition graph."""
+    from linkgraph.operators.hits import hits
+
+    res = hits(_transition_edges(spark, sf_dir), max_iter=1, check_convergence=False)
+    return res.scores.select(
+        F.col("node").alias("node_name"),
+        F.round("hub", 8).alias("hub8"),
+        F.round("authority", 8).alias("auth8"),
+    )
+
+
+def q_kcore_round(spark, sf_dir):
+    """One k-core peel round (k=3) on the undirected simple bipartite
+    graph: vertices surviving the first degree filter, with their simple
+    degree. (The full fixpoint k_core operator is pinned in tests/ — a
+    recursive peel is not monotone-SQL-expressible.)"""
+    from linkgraph.operators.kcore import _sym_simple
+
+    sym = _sym_simple(_bipartite_edges(spark, sf_dir))
+    deg = sym.groupBy("src").count()
+    return deg.where(F.col("count") >= 3).select(
+        F.col("src").alias("node_name"), F.col("count").alias("deg")
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/asof.py — union + one window pass,
+    no range-join explosion): each purchase event picks up the most recent
+    prior-or-equal click's value per user. Right side pre-aggregated on
+    (user, ts) so the as-of match is unambiguous."""
+    from linkgraph.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", value_cols=["click_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value", 6).alias("purchase_value6"),
+        F.round("click_value", 6).alias("click_value6"),
+    )
+
+
+def q_tpch_rollup(spark, sf_dir):
+    """ROLLUP aggregate (grouping-sets coverage): lineitem quantity and
+    revenue per (returnflag, linestatus) with subtotals and a grand total;
+    decimal money math, grouping keys coalesced so the hash compare is
+    label-stable."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+                ),
+                2,
+            ).cast("double").alias("sum_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "sum_revenue",
+            "n_rows",
+        )
+    )
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """Anti-join coverage: customers that placed no orders."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank over the event-derived graph at sf0.001,
     top-20 actors by rank."""
@@ -543,6 +652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_nation_window": q_tpch_nation_window,
+        "ppr_step": q_ppr_step,
+        "hits_step": q_hits_step,
+        "kcore_round": q_kcore_round,
+        "asof_join": q_asof_join,
+        "tpch_rollup": q_tpch_rollup,
+        "customers_no_orders": q_customers_no_orders,
     }
 
 
@@ -826,6 +941,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY r DESC, c_custkey ASC) AS INT) AS rank
             FROM rev
             QUALIFY rank <= 10
+        """,
+        "ppr_step": f"""
+            WITH edges AS ({_BIP}),
+            nodes AS ({_NODES}),
+            od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+            ns AS (SELECT count(DISTINCT src) AS k FROM edges),
+            v AS (
+              SELECT node,
+                     CASE WHEN node IN (SELECT src FROM od)
+                          THEN 1.0 / ns.k ELSE 0.0 END AS v
+              FROM nodes CROSS JOIN ns
+            ),
+            c1 AS (
+              SELECT e.dst AS node, sum(vv.v / od.out_deg) AS contrib
+              FROM edges e JOIN od ON e.src = od.src JOIN v vv ON vv.node = e.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT n.node, 0.85 * coalesce(c1.contrib, 0.0) + 0.15 * v.v AS r
+              FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+              JOIN v ON v.node = n.node
+            ),
+            lk AS (
+              SELECT coalesce(sum(r1.r), 0.0) AS leaked FROM r1
+              WHERE r1.node NOT IN (SELECT src FROM od)
+            ),
+            c2 AS (
+              SELECT e.dst AS node, sum(r1.r / od.out_deg) AS contrib
+              FROM edges e JOIN od ON e.src = od.src JOIN r1 ON r1.node = e.src
+              GROUP BY e.dst
+            )
+            SELECT n.node AS node_name,
+                   round(0.85 * (coalesce(c2.contrib, 0.0) + lk.leaked * v.v)
+                         + 0.15 * v.v, 8) AS rank2
+            FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+            JOIN v ON v.node = n.node CROSS JOIN lk
+        """,
+        "hits_step": f"""
+            WITH edges AS ({_TRANS}),
+            nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            n AS (SELECT count(*) AS n FROM nodes),
+            ar AS (
+              SELECT dst AS node, sum(1.0 / n.n) AS a_raw
+              FROM edges CROSS JOIN n GROUP BY dst, n.n
+            ),
+            at AS (SELECT sum(a_raw) AS t FROM ar),
+            a AS (SELECT node, a_raw / at.t AS a FROM ar CROSS JOIN at),
+            hr AS (
+              SELECT e.src AS node, sum(a.a) AS h_raw
+              FROM edges e JOIN a ON a.node = e.dst GROUP BY e.src
+            ),
+            ht AS (SELECT sum(h_raw) AS t FROM hr)
+            SELECT nodes.node AS node_name,
+                   round(coalesce(hr.h_raw, 0.0) / ht.t, 8) AS hub8,
+                   round(coalesce(a.a, 0.0), 8) AS auth8
+            FROM nodes LEFT JOIN hr ON nodes.node = hr.node
+            LEFT JOIN a ON nodes.node = a.node CROSS JOIN ht
+        """,
+        "kcore_round": f"""
+            WITH edges AS ({_BIP}),
+            und AS (
+              SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst
+              UNION SELECT DISTINCT dst, src FROM edges WHERE src <> dst
+            ),
+            deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY a)
+            SELECT node AS node_name, deg FROM deg WHERE deg >= 3
+        """,
+        "asof_join": """
+            WITH p AS (
+              SELECT event_id, user_id, ts, value AS pv FROM events
+              WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT user_id, ts, max(value) AS cv FROM events
+              WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   round(p.pv, 6) AS purchase_value6,
+                   round(c.cv, 6) AS click_value6
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "tpch_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                  * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
         "tpch_nation_window": """
             WITH monthly AS (

@@ -168,6 +168,111 @@ def pagerank_dataframe(
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    d: float = 0.85,
+    eps: float = 1e-6,
+    max_iter: int = 200,
+    check_convergence: bool = True,
+) -> PageRankResult:
+    """Personalized (topic-sensitive) PageRank: the teleport vector v is
+    uniform over `sources` (DataFrame[node]) instead of uniform over all
+    vertices, and leaked dangling mass returns to v as well:
+
+        new = d*(M r + leaked*v) + (1-d)*v      (init r = v)
+
+    Same join+agg plan shape and one-action-per-iteration piggyback as
+    pagerank_dataframe; the extra state column is v (loop-invariant).
+    Matches linkgraph.oracle.pagerank_personalized to allclose 1e-6
+    (pinned in tests); reduces to Family A when sources = all vertices."""
+    spark = edges.sparkSession
+    wedges = weighted_edges(edges).persist()
+    verts = vertices(edges)
+    od = out_degrees(edges)
+    n_src = sources.select("node").distinct().count()
+    if n_src == 0:
+        raise ValueError("personalized_pagerank: empty source set")
+    state0 = (
+        verts.join(od, "node", "left")
+        .join(
+            sources.select("node").distinct().withColumn("_s", F.lit(True)),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            (F.coalesce(F.col("out_deg"), F.lit(0)) == 0).alias("is_dangling"),
+            F.when(F.col("_s"), 1.0 / n_src).otherwise(0.0).alias("v"),
+        )
+        .persist()
+    )
+    n = state0.count()
+    if n == 0:
+        raise ValueError("personalized_pagerank: empty graph")
+    wedges.count()
+
+    ranks = state0.withColumn("rank", F.col("v")).persist()
+    leaked = float(
+        ranks.agg(
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0))
+        ).first()[0]
+    )
+    norm = float("inf")
+    converged = False
+    metrics: list[dict] = []
+    it = 0
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        contribs = (
+            wedges.join(ranks.select("node", "rank"), wedges.src == F.col("node"), "inner")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("weight")).alias("contrib"))
+        )
+        new_ranks = (
+            ranks.join(contribs, "node", "left")
+            .select(
+                "node",
+                "is_dangling",
+                "v",
+                (
+                    F.lit(d)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(leaked) * F.col("v"))
+                    + F.lit(1.0 - d) * F.col("v")
+                ).alias("rank"),
+                F.col("rank").alias("rank_old"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        agg = new_ranks.agg(
+            F.sum(F.pow(F.col("rank") - F.col("rank_old"), 2)).alias("sq"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("leaked"),
+            F.sum("rank").alias("mass"),
+        ).first()
+        norm = float(agg["sq"]) ** 0.5
+        leaked = float(agg["leaked"])
+        old = ranks
+        ranks = new_ranks.select("node", "is_dangling", "v", "rank").persist()
+        old.unpersist()
+        metrics.append(
+            {"iteration": it, "norm": norm, "mass": float(agg["mass"]),
+             "wall_ms": (time.monotonic() - t0) * 1e3}
+        )
+        if check_convergence and norm <= eps:
+            converged = True
+            break
+
+    wedges.unpersist()
+    state0.unpersist()
+    return PageRankResult(
+        ranks=ranks.select("node", "rank"),
+        iterations=it,
+        norm=norm,
+        converged=converged,
+        iter_metrics=metrics,
+    )
+
+
 def pagerank_sharded(
     edges: DataFrame,
     d: float = 0.85,

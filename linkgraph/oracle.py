@@ -53,6 +53,43 @@ def pagerank_family_a(
     return rank, iters
 
 
+def pagerank_personalized(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    sources: np.ndarray,
+    d: float = 0.85,
+    eps: float = 1e-6,
+    max_iter: int = 200,
+) -> tuple[np.ndarray, int]:
+    """Personalized PageRank: teleport AND leaked dangling mass return to
+    the uniform distribution over `sources` (v), not to all vertices:
+
+        new = d*(M r + leaked*v) + (1-d)*v
+
+    Same L2 stop rule as Family A. Reduces to Family A when sources =
+    all vertices."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    v = np.zeros(n, dtype=np.float64)
+    v[np.asarray(sources, dtype=np.int64)] = 1.0 / len(sources)
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    dangling = outdeg == 0.0
+    w = 1.0 / outdeg[src]
+    rank = v.copy()
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        leaked = rank[dangling].sum()
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, dst, rank[src] * w)
+        new = d * (contrib + leaked * v) + (1.0 - d) * v
+        norm = float(np.sqrt(((new - rank) ** 2).sum()))
+        rank = new
+        if norm <= eps:
+            break
+    return rank, iters
+
+
 def pagerank_family_b(
     src: np.ndarray,
     dst: np.ndarray,

@@ -352,6 +352,7 @@ def pagerank_barrier(
     checkpoint_interval: int = 1,
     mesh_transport: str | None = None,
     replicate: bool | None = None,
+    work_steal: bool | None = None,
 ):
     """Family-A PageRank (semantics of operators/pagerank.py, SURVEY §2.8)
     with the entire iteration loop inside one barrier stage. Returns a
@@ -391,6 +392,11 @@ def pagerank_barrier(
     # O_CREAT|O_EXCL claim files are atomic on POSIX and NFSv4
     claims_root = os.path.join(g.shard_dir, "claims", uuid.uuid4().hex)
     transport = mesh_transport or os.environ.get("LINKGRAPH_MESH", "auto")
+    do_steal = (
+        work_steal
+        if work_steal is not None
+        else os.environ.get("LINKGRAPH_STEAL", "0") == "1"
+    )
     parts_sized = sorted((part, _dir_bytes(path)) for part, path in part_dirs)
     tasks = list(range(P))
 
@@ -431,7 +437,16 @@ def pagerank_barrier(
             if q == pid:
                 mine_parts.append(part)
 
-        # Work stealing (replicate path only): the static LPT assignment is
+        # Work stealing (replicate path only, OPT-IN via work_steal= /
+        # LINKGRAPH_STEAL=1 — default static): measured on this host, the
+        # claims race BACKFIRES at P=32: a task whose peers are briefly
+        # descheduled at iteration start claims nearly every shard and then
+        # runs the whole SpMV alone while 31 tasks idle in the allgather
+        # (observed 3-7 s iterations vs ~0.1 s static). With the gather
+        # allocator stall fixed (shards.py csr_partials scratch) genuine
+        # multi-second stragglers are rare, so static LPT wins; stealing
+        # remains available for environments with real vCPU freezes.
+        # When enabled: the static LPT assignment is
         # each task's PREFERENCE, not its obligation. Per iteration each
         # shard is claimed exactly once via an O_EXCL file create; a task
         # whose vCPU stalls (this hypervisor freezes vCPUs for 100s of ms)
@@ -443,25 +458,35 @@ def pagerank_barrier(
         # non-replicate (large-n) path keeps the static assignment: its
         # partials are routed by segment owner and stealing would only
         # re-route the same bytes.
-        steal = rep and P > 1
+        steal = rep and P > 1 and do_steal
         mine_set = set(mine_parts)
         pref_order = mine_parts + [p for p in order_desc if p not in mine_set]
+        mesh = _make_mesh(ctx, pid, P, transport)
+        # Claim directory placement matters: ~P x num_shards O_EXCL
+        # attempts per iteration all target ONE directory, and on a
+        # disk-backed filesystem the directory-inode lock serializes the
+        # gang (measured: seconds per iteration at P=32 on ext4 /tmp).
+        # Same-host (shm mesh) runs claim inside the tmpfs mesh root —
+        # memory-speed creates, swept with the mesh; multi-host runs keep
+        # the shard_dir (shared storage, atomic on NFSv4).
+        claims_dir = (
+            os.path.join(mesh.root, "claims")
+            if isinstance(mesh, _ShmMesh)
+            else claims_root
+        )
         if steal:
-            os.makedirs(claims_root, exist_ok=True)
+            os.makedirs(claims_dir, exist_ok=True)
 
         def _claimed(it_no: int, part: int) -> bool:
+            p = os.path.join(claims_dir, f"it{it_no}_p{part}")
+            if os.path.exists(p):  # lock-free fast path: already claimed
+                return False
             try:
-                os.close(
-                    os.open(
-                        os.path.join(claims_root, f"it{it_no}_p{part}"),
-                        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                    )
-                )
+                os.close(os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
                 return True
             except FileExistsError:
                 return False
 
-        mesh = _make_mesh(ctx, pid, P, transport)
         try:
             start = start_iter
             if ckpt_root is not None:

@@ -184,7 +184,17 @@ _STEP_SCHEMA = "part_id int, idx binary, contrib binary, nnz long, rows long, wa
 # which is what the aggregate SpMV throughput is bound by at high core
 # counts. Float math is bit-identical: 1/outdeg is computed once either way.
 _SHARD_CACHE: dict[tuple, tuple] = {}
-_SHARD_CACHE_MAX = 16
+# Byte-budget LRU (was a 16-entry cap): with large shards the entry cap
+# forced ~GBs of np.load re-reads per iteration per worker — and unfairly
+# vs the bench's sync-free control, which holds every shard resident. A
+# worker only ever caches shards it actually claims (~2x its fair share
+# under work stealing), so the worst-case fleet footprint is
+# ~2 x total_decoded_bytes regardless of P. Override via
+# LINKGRAPH_SHARD_CACHE_BYTES (read at worker import).
+_SHARD_CACHE_BUDGET = int(
+    os.environ.get("LINKGRAPH_SHARD_CACHE_BYTES", 4 << 30)
+)
+_SHARD_CACHE_BYTES = 0
 _INV_CACHE: dict[tuple, np.ndarray] = {}
 
 
@@ -235,13 +245,16 @@ def _load_shard(path: str, token: str = ""):
     SAME shard_dir within one Spark app (jobs --shard-dir, bench_scaling)
     must not serve the previous build's decoded arrays from a reused
     worker."""
+    global _SHARD_CACHE_BYTES
     key = (path, token)
     ent = _SHARD_CACHE.pop(key, None)
     if ent is None:
         ent = load_csr_shard(path)
-    _SHARD_CACHE[key] = ent  # re-insert = move to MRU (bounds open mmaps)
-    while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
-        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE_BYTES += sum(a.nbytes for a in ent)
+    _SHARD_CACHE[key] = ent  # re-insert = move to MRU
+    while _SHARD_CACHE and _SHARD_CACHE_BYTES > _SHARD_CACHE_BUDGET:
+        old_ent = _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE_BYTES -= sum(a.nbytes for a in old_ent)
     return ent
 
 
@@ -258,16 +271,31 @@ def _load_inv_od(path: str, token: str = "") -> np.ndarray:
     return arr
 
 
+_GATHER_SCRATCH = np.empty(0, dtype=np.float64)
+
+
 def csr_partials(shard, w_rank: np.ndarray):
     """One shard's SpMV partial sums: single gather of the pre-divided
     vector w_rank = rank/outdeg (n-sized multiply hoisted out of the m-sized
     loop), then a segment reduce over the static CSR rowptr. The analogue of
     kernels/pr_custom_matrix_in.cl:141-151, minimized to ~12 streamed bytes
-    per edge."""
+    per edge.
+
+    The gather lands in a worker-persistent scratch buffer (grow-only,
+    np.take out=): a fresh nnz-sized allocation per shard per iteration
+    means an mmap/munmap cycle on ~100 MB buffers, and the resulting page
+    zeroing + THP compaction measurably FREEZES the process for seconds at
+    random (observed: 2-6 s stalls every ~6 iterations on this host — the
+    round-1 write-up blamed the hypervisor; it was the allocator). Same
+    floats, same order — only the destination memory is reused."""
     src_s, uniq, starts = shard
     if len(src_s) == 0:
         return uniq, np.empty(0, np.float64), 0
-    contrib = w_rank[src_s]
+    global _GATHER_SCRATCH
+    if len(_GATHER_SCRATCH) < len(src_s):
+        _GATHER_SCRATCH = np.empty(len(src_s), dtype=np.float64)
+    contrib = _GATHER_SCRATCH[: len(src_s)]
+    np.take(w_rank, src_s, out=contrib)
     sums = np.add.reduceat(contrib, starts)
     return uniq, sums, len(src_s)
 

@@ -47,7 +47,8 @@ def test_replicate_and_routed_paths_allclose(spark):
 def test_shm_mesh_cleans_up(spark):
     import glob
 
+    pre = set(glob.glob("/dev/shm/lg_mesh_*"))  # killed runs may leak dirs
     src, dst, n = fx.toy_cycle()
     df = fx.edges_df(spark, src, dst)
     pagerank_barrier(df, eps=1e-8, num_tasks=4, mesh_transport="shm")
-    assert glob.glob("/dev/shm/lg_mesh_*") == []
+    assert set(glob.glob("/dev/shm/lg_mesh_*")) - pre == set()
