@@ -124,7 +124,67 @@ class _ShmMesh:
         self.root = root
         self.seq = 0
         self._mine: list[list[str]] = []  # my files per round, for cleanup
+        self._rx: dict[int, int] = {}  # peer -> incoming fifo fd
+        self._tx: dict[int, int] = {}  # peer -> outgoing fifo fd (lazy)
         os.makedirs(root, exist_ok=True)
+        # One FIFO per ordered peer pair for arrival signaling: a reader
+        # BLOCKS in the kernel on its incoming fifo (zero CPU) instead of
+        # exists()-polling. Polling was measured self-defeating at P=32:
+        # ~20 waiting tasks in 0.2-2 ms sleep/wake loops steal enough CPU
+        # from the still-computing tasks to stretch the very tail the gang
+        # is waiting on (a feedback loop; engine sat at 4-17x the sync-free
+        # control). Protocol: writer renames the payload file THEN writes
+        # one byte to the reader's fifo; one byte <=> one message, in SPMD
+        # round order, so a blocking 1-byte read == "next payload is on
+        # disk". Pipe buffers (64 KiB) never fill at 1 B/round.
+        for q in range(P):
+            if q != pid:
+                try:
+                    os.mkfifo(os.path.join(root, f"f_{q}_{pid}"))
+                except FileExistsError:
+                    pass
+        for q in range(P):
+            if q != pid:
+                # O_NONBLOCK so open succeeds before the writer arrives;
+                # reads themselves block via select() below
+                self._rx[q] = os.open(
+                    os.path.join(root, f"f_{q}_{pid}"),
+                    os.O_RDONLY | os.O_NONBLOCK,
+                )
+
+    def _signal(self, q: int) -> None:
+        fd = self._tx.get(q)
+        if fd is None:
+            # writer-side open blocks with ENXIO until the reader has
+            # opened; the reader opens all incoming fifos in __init__, so
+            # this resolves within the rendezvous window
+            path = os.path.join(self.root, f"f_{self.pid}_{q}")
+            deadline = time.monotonic() + 600
+            while True:
+                try:
+                    fd = os.open(path, os.O_WRONLY | os.O_NONBLOCK)
+                    break
+                except OSError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(f"shm mesh: no reader on {path}")
+                    time.sleep(0.001)
+            self._tx[q] = fd
+        os.write(fd, b"\x01")
+
+    def _await_byte(self, q: int, deadline: float) -> None:
+        import select
+
+        fd = self._rx[q]
+        while True:
+            try:
+                if os.read(fd, 1):
+                    return
+            except BlockingIOError:
+                pass
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                raise TimeoutError(f"shm mesh: no signal from peer {q}")
+            select.select([fd], [], [], min(timeout, 60.0))
 
     def _write(self, name: str, obj) -> str:
         path = os.path.join(self.root, name)
@@ -134,24 +194,10 @@ class _ShmMesh:
         os.rename(tmp, path)
         return path
 
-    def _read(self, name: str, deadline: float):
-        path = os.path.join(self.root, name)
-        sleep = 0.0
-        while True:
-            try:
-                with open(path, "rb") as f:
-                    return pickle.load(f)
-            except FileNotFoundError:
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"shm mesh: {name} never arrived")
-                if sleep:
-                    time.sleep(sleep)
-                    sleep = min(0.002, sleep * 2)
-                else:
-                    spin_until = time.monotonic() + 0.001
-                    while time.monotonic() < spin_until and not os.path.exists(path):
-                        pass
-                    sleep = 0.0002
+    def _read(self, name: str, peer: int, deadline: float):
+        self._await_byte(peer, deadline)
+        with open(os.path.join(self.root, name), "rb") as f:
+            return pickle.load(f)
 
     def _round_files(self, written: list[str]):
         self._mine.append(written)
@@ -167,13 +213,13 @@ class _ShmMesh:
         if self.P == 1:
             return {}
         k = self.seq
-        written = [
-            self._write(f"s{k}_p{self.pid}_to_{q}", msg)
-            for q, msg in outgoing.items()
-        ]
+        written = []
+        for q, msg in outgoing.items():
+            written.append(self._write(f"s{k}_p{self.pid}_to_{q}", msg))
+            self._signal(q)
         deadline = time.monotonic() + 600
         got = {
-            q: self._read(f"s{k}_p{q}_to_{self.pid}", deadline)
+            q: self._read(f"s{k}_p{q}_to_{self.pid}", q, deadline)
             for q in range(self.P)
             if q != self.pid
         }
@@ -185,9 +231,12 @@ class _ShmMesh:
             return {self.pid: payload}
         k = self.seq
         written = [self._write(f"s{k}_p{self.pid}", payload)]
+        for q in range(self.P):
+            if q != self.pid:
+                self._signal(q)
         deadline = time.monotonic() + 600
         got = {
-            q: self._read(f"s{k}_p{q}", deadline)
+            q: self._read(f"s{k}_p{q}", q, deadline)
             for q in range(self.P)
             if q != self.pid
         }
@@ -197,20 +246,27 @@ class _ShmMesh:
 
     def close(self):
         # A task must NOT delete its recent files here — a slower peer may
-        # still be reading the final round (deleting would turn its read
-        # into a spin-until-timeout). Instead each task drops a depart
-        # marker; pid 0 waits for all markers (bounded) and sweeps the dir.
+        # still be reading the final round (deleting would starve its
+        # read). Each departing task signals pid 0 one final byte; pid 0
+        # waits for every depart signal (bounded) and sweeps the dir.
         try:
-            self._write(f"done_p{self.pid}", True)
-        except OSError:
+            if self.pid != 0 and self.P > 1:
+                self._signal(0)
+            elif self.pid == 0:
+                deadline = time.monotonic() + 600
+                try:
+                    for q in range(1, self.P):
+                        self._await_byte(q, deadline)
+                except (TimeoutError, OSError):
+                    pass  # a dead peer fails the stage anyway; still sweep
+        except (TimeoutError, OSError):
             pass
-        if self.pid == 0:
-            deadline = time.monotonic() + 600
+        for fd in list(self._rx.values()) + list(self._tx.values()):
             try:
-                for q in range(1, self.P):
-                    self._read(f"done_p{q}", deadline)
-            except (TimeoutError, OSError):
-                pass  # a dead peer fails the stage anyway; still sweep
+                os.close(fd)
+            except OSError:
+                pass
+        if self.pid == 0:
             shutil.rmtree(self.root, ignore_errors=True)
 
 
