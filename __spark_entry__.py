@@ -601,13 +601,24 @@ def q_tpch_rollup(spark, sf_dir):
     )
 
 
-def q_customers_no_orders(spark, sf_dir):
-    """Anti-join coverage: customers that placed no orders."""
+def q_customers_few_orders(spark, sf_dir):
+    """Anti-join + left-join-with-null-aggregate coverage: customers with
+    fewer than 3 orders (incl. zero — every customer at these SFs has at
+    least one order, so a pure no-orders anti-join would be a trivially
+    empty, meaningless check)."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return c.join(
-        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-    ).select("c_custkey", "c_name", "c_nationkey")
+    cnt = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        c.join(cnt, "c_custkey", "left")
+        .where(F.coalesce("n_orders", F.lit(0)) < 3)
+        .select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -657,7 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_round": q_kcore_round,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
-        "customers_no_orders": q_customers_no_orders,
+        "customers_few_orders": q_customers_few_orders,
     }
 
 
@@ -1033,9 +1044,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
-        "customers_no_orders": """
-            SELECT c_custkey, c_name, c_nationkey FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        "customers_few_orders": """
+            SELECT c_custkey, c_name, c_nationkey,
+                   coalesce(o.n_orders, 0) AS n_orders
+            FROM customer
+            LEFT JOIN (
+              SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+            ) o ON c_custkey = o.o_custkey
+            WHERE coalesce(o.n_orders, 0) < 3
         """,
         "tpch_nation_window": """
             WITH monthly AS (
