@@ -19,7 +19,7 @@ are pure Catalyst except where noted — no per-row Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,16 +39,38 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_len: int = 5
 ) -> DataFrame:
-    """[id, shingle] — distinct word shingles of length ``shingle_len``."""
+    """[id, shingle] — distinct word shingles of length ``shingle_len``.
+
+    posexplode + lead-window assembly, NOT slice-inside-transform: Catalyst
+    collapses projections, so a ``slice(toks, i, L)`` lambda re-evaluates
+    the whole regexp_replace+split expression per index — O(tokens x
+    text_len) per document (measured 64 ms CPU/doc; ~10 s for 5k docs).
+    Here the normalize+split runs once per doc; the window pays one small
+    shuffle on id. Docs shorter than ``shingle_len`` yield their full text
+    as the single (short) shingle, matching the old slice semantics."""
     toks = F.split(_normalize(F.col(text_col)), " ")
-    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_len, F.lit(0)))
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(toks).alias("pos", "tok"),
+        F.size(toks).alias("n"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, shingle_len)]
     return (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_len)))
-            ).alias("shingle"),
+        tok.select(
+            "id",
+            "pos",
+            "n",
+            F.concat_ws(" ", *leads).alias("shingle"),
         )
+        # window starts: one shingle per position that has a full window,
+        # plus the single short shingle of an under-length doc (pos 0)
+        .where(
+            (F.col("pos") + shingle_len <= F.col("n"))
+            | ((F.col("n") < shingle_len) & (F.col("pos") == 0))
+            | ((F.col("n") == shingle_len) & (F.col("pos") == 0))
+        )
+        .select("id", "shingle")
         .distinct()
     )
 
