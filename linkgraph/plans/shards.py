@@ -509,11 +509,17 @@ class ShardedGraph:
         #    done n-sized instead of m-sized). int32 indices while n < 2^31
         #    — halves the iteration memory stream.
         idx_t = "int" if n < 2**31 else "long"
+        # n-row sides broadcast explicitly while they plausibly fit executor
+        # memory (~24 B/row; 50M rows ~ 1.2 GB): without the hint the
+        # relation's post-shuffle size estimate routes the THREE m-row
+        # joins through sort-merge shuffles of the edge table. Beyond the
+        # cutoff (1e9-vertex graphs) the joins shuffle — correct either way.
+        _bc = F.broadcast if n <= 50_000_000 else (lambda df: df)
         (
             edges.select("src", "dst")
-            .join(mapping.select(F.col("node").alias("src"), F.col("idx").alias("src_idx")), "src")
-            .join(mapping.select(F.col("node").alias("dst"), F.col("idx").alias("dst_idx")), "dst")
-            .join(plan.select("dst_idx", "bucket", "salts"), "dst_idx")
+            .join(_bc(mapping.select(F.col("node").alias("src"), F.col("idx").alias("src_idx"))), "src")
+            .join(_bc(mapping.select(F.col("node").alias("dst"), F.col("idx").alias("dst_idx"))), "dst")
+            .join(_bc(plan.select("dst_idx", "bucket", "salts")), "dst_idx")
             .withColumn("part", part_expr.cast("int"))
             .select(
                 F.col("src_idx").cast(idx_t).alias("src_idx"),
