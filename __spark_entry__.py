@@ -621,6 +621,38 @@ def q_customers_few_orders(spark, sf_dir):
     )
 
 
+def q_emb_near_pairs(spark, sf_dir):
+    """Exact all-pairs embedding-cosine threshold pairs — the zero-recall-loss
+    baseline the LSH/IVF paths are validated against. Broadcast nested-loop
+    on a<b; contract scale only (scale path: embedding_near_dup_pairs)."""
+    from linkgraph.operators.similarity import cosine_pairs_exact
+
+    return cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.35).select(
+        "a", "b", F.round("cosine", 6).alias("cosine6")
+    )
+
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling-window rollup over the events table (batch mirror of the
+    streaming watermarked rollup in linkgraph/streaming): 1-hour windows x
+    event_type -> count + sum. Window start emitted as epoch seconds so the
+    oracle compare is timezone-representation-free."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank over the event-derived graph at sf0.001,
     top-20 actors by rank."""
@@ -669,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
         "customers_few_orders": q_customers_few_orders,
+        "emb_near_pairs": q_emb_near_pairs,
+        "event_windows": q_event_windows,
     }
 
 
@@ -1052,6 +1086,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
             ) o ON c_custkey = o.o_custkey
             WHERE coalesce(o.n_orders, 0) < 3
+        """,
+        "emb_near_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            scored AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT a, b, round(cosine, 6) AS cosine6
+            FROM scored WHERE cosine >= 0.35
+        """,
+        "event_windows": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "tpch_nation_window": """
             WITH monthly AS (

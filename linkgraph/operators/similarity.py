@@ -303,3 +303,29 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine-threshold pairs [a, b, cosine] — the exactness
+    baseline for embedding near-duplicate detection (no bucketing,
+    no recall loss). The right side is broadcast, so Spark plans a
+    broadcast nested-loop join on ``a < b``: correct at query/validation
+    scales only. At corpus scale use ``embedding_near_dup_pairs``
+    (hyperplane-LSH bucketed: candidate pairs are generated within
+    buckets only, never all-pairs)."""
+    left = embeddings.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    right = embeddings.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        left.join(F.broadcast(right), F.col("a") < F.col("b"))
+        .select("a", "b", _cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

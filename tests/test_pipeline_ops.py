@@ -127,6 +127,28 @@ def test_embedding_near_dup_pairs(spark):
     assert all(r["cosine"] >= 0.95 for r in pairs)
 
 
+def test_cosine_pairs_exact_vs_numpy(spark, emb):
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in similarity.cosine_pairs_exact(emb, threshold=0.3).collect()}
+    ep = emb.toPandas()
+    ids = ep["vec_id"].to_numpy()
+    M = np.stack(ep["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            a, b = int(ids[i]), int(ids[j])
+            if a < b and S[i, j] >= 0.3:
+                want[(a, b)] = S[i, j]
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
+    # the bucketed scale path must be a subset of the exact pairs
+    approx = similarity.embedding_near_dup_pairs(emb, threshold=0.3, bits=2).collect()
+    assert {(r["a"], r["b"]) for r in approx} <= set(got)
+
+
 # ---- textstats ----
 
 def test_token_count(spark):
