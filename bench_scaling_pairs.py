@@ -113,9 +113,24 @@ def main() -> dict:
 
         effs, recs = [], []
         for i in range(repeats):
-            plo = _launch(lo, cpus_lo, shard_dir, zip_path, iters_n)
-            phi = _launch(hi, cpus_hi, shard_dir, zip_path, 4 * iters_n)
-            rlo, rhi = _collect(plo, lo), _collect(phi, hi)
+            # a repeat whose JVM dies (transient: barrier-stage retry storm,
+            # hypervisor stall past the mesh timeout) is retried once, then
+            # skipped — one lost sample must not abort the whole protocol
+            for attempt in (0, 1):
+                plo = _launch(lo, cpus_lo, shard_dir, zip_path, iters_n)
+                phi = _launch(hi, cpus_hi, shard_dir, zip_path, 4 * iters_n)
+                try:
+                    rlo, rhi = _collect(plo, lo), _collect(phi, hi)
+                    break
+                except RuntimeError as exc:
+                    for p in (plo, phi):
+                        if p.poll() is None:
+                            p.kill()
+                            p.wait()
+                    print(f"  pair {lo}->{hi} #{i} attempt {attempt} died: "
+                          f"{str(exc)[:200]}", file=sys.stderr)
+            else:
+                continue
             tlo = rlo["edges_per_sec_median_iter"]
             thi = rhi["edges_per_sec_median_iter"]
             eff = thi / (4.0 * tlo)

@@ -459,7 +459,7 @@ def pagerank_barrier(
     def run(it_rows):
         from pyspark import BarrierTaskContext
 
-        from linkgraph.plans.shards import _load_shard
+        from linkgraph.plans.shards import _load_shard, _load_uniq
 
         ctx = BarrierTaskContext.get()
         pid = ctx.partitionId()
@@ -607,19 +607,27 @@ def pagerank_barrier(
                     # full vector in canonical part-ascending order (same
                     # floats, same order regardless of who computed what =>
                     # identical stop decisions, checkpoint-equal vectors,
-                    # and results invariant to claim outcomes AND to P)
-                    blocks = mesh.allgather((per_shard, pmet))
+                    # and results invariant to claim outcomes AND to P).
+                    # Only the per-iteration sums go on the wire — the
+                    # loop-invariant uniq-dst arrays are resolved locally
+                    # from the shard sidecars (_load_uniq, page-cache-
+                    # shared), halving the mesh volume of the route step.
+                    blocks = mesh.allgather(
+                        ([(p, s) for p, _u, s in per_shard], pmet)
+                    )
                     t_route = time.monotonic()
                     order = sorted(blocks)
                     flat = sorted(
                         (t for q in order for t in blocks[q][0]), key=lambda x: x[0]
                     )
                     all_u = (
-                        np.concatenate([u for _p, u, _s in flat])
+                        np.concatenate(
+                            [_load_uniq(path_of[p], build_token) for p, _s in flat]
+                        )
                         if flat else np.empty(0, np.int64)
                     )
                     all_s = (
-                        np.concatenate([s for _p, _u, s in flat])
+                        np.concatenate([s for _p, s in flat])
                         if flat else np.empty(0, np.float64)
                     )
                     all_met = [mm for q in order for mm in blocks[q][1]]

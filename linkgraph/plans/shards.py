@@ -266,6 +266,32 @@ def _ent_nbytes(ent) -> int:
     )
 
 
+_UNIQ_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _load_uniq(path: str, token: str = "") -> np.ndarray:
+    """Just a shard's static uniq-dst array (csr_uniq.npy sidecar), without
+    decoding the full CSR. Lets the barrier combine resolve destination
+    indices for shards OTHER tasks computed — partial exchanges then ship
+    only the per-iteration sums, not the loop-invariant uniq arrays (halves
+    the per-iteration mesh volume). Tiny (n_dst×8 B) and page-cache-shared
+    across tasks; cached per worker like _load_shard."""
+    key = (path, token)
+    arr = _UNIQ_CACHE.get(key)
+    if arr is None:
+        ent = _SHARD_CACHE.get(key)
+        if ent is not None:
+            arr = ent[1]
+        elif os.path.exists(os.path.join(path, "csr_uniq.npy")):
+            arr = np.load(os.path.join(path, "csr_uniq.npy"))
+        else:  # sidecars not yet written (fresh build): full decode path
+            arr = _load_shard(path, token)[1]
+        if len(_UNIQ_CACHE) > 4096:
+            _UNIQ_CACHE.clear()
+        _UNIQ_CACHE[key] = arr
+    return arr
+
+
 def _load_inv_od(path: str, token: str = "") -> np.ndarray:
     """Static per-build 1/outdeg array (the hoisted COO data[] of
     readers/mtx_sparse.h:123-132) — cached per worker, keyed by
