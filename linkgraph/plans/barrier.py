@@ -244,6 +244,38 @@ class _ShmMesh:
         self._round_files(written)
         return got
 
+    def stream_put(self, key, obj) -> None:
+        """Streamed collective, write half: publish one keyed item of the
+        CURRENT round to every peer immediately (called mid-compute, so the
+        transfer overlaps the remaining kernel work). Pairs with
+        stream_collect, which closes the round. One signal byte per peer
+        per item keeps the byte<=>message accounting of the fifo protocol:
+        the reader issues one blocking read per EXPECTED item."""
+        self._stream_written = getattr(self, "_stream_written", [])
+        self._stream_written.append(
+            self._write(f"s{self.seq}_p{self.pid}_{key}", obj)
+        )
+        for q in range(self.P):
+            if q != self.pid:
+                self._signal(q)
+
+    def stream_collect(self, expected: dict[int, list]) -> dict[tuple, object]:
+        """Streamed collective, read half: collect every peer's items for
+        this round. ``expected[q]`` lists peer q's keys in q's write order
+        (deterministic static assignment — every task derives the same
+        lists), so per-peer sequential blocking reads consume signals in
+        order. Returns {(q, key): obj}. Closes the round."""
+        deadline = time.monotonic() + 600
+        got = {}
+        for q in range(self.P):
+            if q == self.pid:
+                continue
+            for key in expected.get(q, ()):
+                got[(q, key)] = self._read(f"s{self.seq}_p{q}_{key}", q, deadline)
+        self._round_files(getattr(self, "_stream_written", []))
+        self._stream_written = []
+        return got
+
     def close(self):
         # A task must NOT delete its recent files here — a slower peer may
         # still be reading the final round (deleting would starve its
@@ -486,12 +518,15 @@ def pagerank_barrier(
         size_of = dict(parts_sized)
         order_desc = [pp for pp, _sz in sorted(parts_sized, key=lambda x: (-x[1], x[0]))]
         load = [0.0] * P
-        mine_parts: list[int] = []
+        # full assignment (not just own): every task derives the same
+        # per-peer part lists, which is what lets the streamed partial
+        # exchange below know exactly which keyed items to await from whom
+        assign: list[list[int]] = [[] for _ in range(P)]
         for part in order_desc:
             q = min(range(P), key=lambda i: (load[i] + size_of[part], i))
             load[q] += size_of[part]
-            if q == pid:
-                mine_parts.append(part)
+            assign[q].append(part)
+        mine_parts = assign[pid]
 
         # Work stealing (replicate path only, OPT-IN via work_steal= /
         # LINKGRAPH_STEAL=1 — default static): measured on this host, the
@@ -518,6 +553,14 @@ def pagerank_barrier(
         mine_set = set(mine_parts)
         pref_order = mine_parts + [p for p in order_desc if p not in mine_set]
         mesh = _make_mesh(ctx, pid, P, transport)
+        # Streamed partial exchange (replicate + static assignment + shm
+        # mesh): each shard's sums are published the moment the kernel
+        # finishes them, so the transfer overlaps the remaining compute and
+        # the gang's critical path waits only on the slowest task's LAST
+        # shard — not on a bulk post-kernel write+read of its whole share.
+        # Needs the static assignment (receivers must know which keys to
+        # await); stealing randomizes ownership, so it keeps the bulk path.
+        streamed = rep and P > 1 and not steal and isinstance(mesh, _ShmMesh)
         # Claim directory placement matters: ~P x num_shards O_EXCL
         # attempts per iteration all target ONE directory, and on a
         # disk-backed filesystem the directory-inode lock serializes the
@@ -595,12 +638,78 @@ def pagerank_barrier(
                     tk = time.monotonic()
                     u, s, nnz = csr_partials(_load_shard(path_of[part], build_token), w_rank)
                     per_shard.append((part, u, s))
+                    if streamed:
+                        mesh.stream_put(part, s)
                     pmet.append(
                         {"part_id": part, "nnz": nnz, "rows": len(u),
                          "wall_ms": (time.monotonic() - tk) * 1e3,
                          "stolen": part not in mine_set}
                     )
                 t_kernel = time.monotonic()
+
+                if streamed:
+                    # close the round: metrics ride the last streamed item;
+                    # every task then combines the full vector in canonical
+                    # part-ascending order (same floats, same order as the
+                    # bulk path => identical stop decisions and vectors)
+                    mesh.stream_put("met", pmet)
+                    got = mesh.stream_collect(
+                        {q: assign[q] + ["met"] for q in range(P) if q != pid}
+                    )
+                    t_route = time.monotonic()
+                    sums_by_part = {p: s for p, _u, s in per_shard}
+                    for (_q, key), obj in got.items():
+                        if key != "met":
+                            sums_by_part[key] = obj
+                    parts_sorted = sorted(sums_by_part)
+                    all_u = (
+                        np.concatenate(
+                            [_load_uniq(path_of[p], build_token) for p in parts_sorted]
+                        )
+                        if parts_sorted else np.empty(0, np.int64)
+                    )
+                    all_s = (
+                        np.concatenate([sums_by_part[p] for p in parts_sorted])
+                        if parts_sorted else np.empty(0, np.float64)
+                    )
+                    all_met = [
+                        mm
+                        for q in range(P)
+                        for mm in (pmet if q == pid else got[(q, "met")])
+                    ]
+                    leaked = float(rank[dang_idx].sum())
+                    base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+                    new = np.full(n, base, dtype=np.float64)
+                    if len(all_u):
+                        new += d * np.bincount(all_u, weights=all_s, minlength=n)
+                    nsq = float(((new - rank) ** 2).sum())
+                    rank = new
+                    norm = float(np.sqrt(nsq))
+                    converged = bool(check_convergence and norm <= eps)
+                    done = converged or it >= max_iter
+                    my_metrics.extend(pmet)
+                    if pid == 0:
+                        iter_log.append(
+                            {"iteration": it, "norm": norm, "mass": float(rank.sum()),
+                             "wall_ms": (time.monotonic() - t0) * 1e3,
+                             "kernel_ms": (t_kernel - t0) * 1e3,
+                             "route_ms": (t_route - t_kernel) * 1e3,
+                             "comb_ms": (time.monotonic() - t_route) * 1e3,
+                             "partitions": len(all_met),
+                             "nnz": int(sum(mm["nnz"] for mm in all_met))}
+                        )
+                        if ckpt_root is not None and (
+                            done or it % checkpoint_interval == 0
+                        ):
+                            from linkgraph.checkpoint import write_iteration_arrays
+
+                            write_iteration_arrays(
+                                ckpt_root, run_id, it, ids, rank, iter_log[-1],
+                                [{"iteration": it, **mm} for mm in all_met],
+                            )
+                    if done:
+                        break
+                    continue
 
                 if rep:
                     # one allgather of partials; every task combines the
