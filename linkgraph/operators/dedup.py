@@ -19,7 +19,7 @@ are pure Catalyst except where noted — no per-row Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -41,36 +41,41 @@ def shingles(
 ) -> DataFrame:
     """[id, shingle] — distinct word shingles of length ``shingle_len``.
 
-    posexplode + lead-window assembly, NOT slice-inside-transform: Catalyst
-    collapses projections, so a ``slice(toks, i, L)`` lambda re-evaluates
-    the whole regexp_replace+split expression per index — O(tokens x
-    text_len) per document (measured 64 ms CPU/doc; ~10 s for 5k docs).
-    Here the normalize+split runs once per doc; the window pays one small
-    shuffle on id. Docs shorter than ``shingle_len`` yield their full text
-    as the single (short) shingle, matching the old slice semantics."""
+    Assembly is slice-over-a-MATERIALIZED-token-array: a trivial
+    ``slice(toks, i, L)`` lambda straight after the split is an O(tokens ×
+    text_len) trap — Catalyst collapses adjacent projections, so the lambda
+    re-evaluates the whole regexp_replace+split per index (measured 64 ms
+    CPU/doc; ~10 s for 5k docs). A one-row-per-id ``groupBy(id).first(toks)``
+    aggregate is the projection-collapse barrier: the split runs once per
+    doc, the slices copy words out of the materialized array. This replaces
+    a round-1 posexplode + 5×lead window (the WindowExec's per-row frame
+    evaluation measured ~5× slower than the array slices on the same data;
+    both produce the identical distinct (id, shingle) set). Assumes
+    ``id_col`` is unique per document (true for the documents table — the
+    aggregate is a barrier, not a combiner). Docs shorter than
+    ``shingle_len`` yield their full text as the single (short) shingle."""
     toks = F.split(_normalize(F.col(text_col)), " ")
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(toks).alias("pos", "tok"),
-        F.size(toks).alias("n"),
+    base = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .groupBy("id")
+        .agg(F.first("toks").alias("toks"))
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, shingle_len)]
+    win_starts = F.sequence(F.lit(0), F.size("toks") - F.lit(shingle_len))
     return (
-        tok.select(
+        base.select(
             "id",
-            "pos",
-            "n",
-            F.concat_ws(" ", *leads).alias("shingle"),
+            F.explode(
+                F.when(
+                    F.size("toks") <= F.lit(shingle_len),
+                    F.array(F.concat_ws(" ", F.col("toks"))),
+                ).otherwise(
+                    F.transform(
+                        win_starts,
+                        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, shingle_len)),
+                    )
+                )
+            ).alias("shingle"),
         )
-        # window starts: one shingle per position that has a full window,
-        # plus the single short shingle of an under-length doc (pos 0)
-        .where(
-            (F.col("pos") + shingle_len <= F.col("n"))
-            | ((F.col("n") < shingle_len) & (F.col("pos") == 0))
-            | ((F.col("n") == shingle_len) & (F.col("pos") == 0))
-        )
-        .select("id", "shingle")
         .distinct()
     )
 

@@ -560,7 +560,15 @@ def pagerank_barrier(
         # shard — not on a bulk post-kernel write+read of its whole share.
         # Needs the static assignment (receivers must know which keys to
         # await); stealing randomizes ownership, so it keeps the bulk path.
-        streamed = rep and P > 1 and not steal and isinstance(mesh, _ShmMesh)
+        # Only pays when there is compute to overlap: per item it costs
+        # ~P fifo writes + a file create, so a task whose whole kernel
+        # share is a few ms (tiny graphs at high P) is better off with the
+        # single bulk round — gate on per-task shard bytes.
+        stream_min = int(os.environ.get("LINKGRAPH_STREAM_MIN_BYTES", 32 << 20))
+        streamed = (
+            rep and P > 1 and not steal and isinstance(mesh, _ShmMesh)
+            and sum(size_of.values()) // P >= stream_min
+        )
         # Claim directory placement matters: ~P x num_shards O_EXCL
         # attempts per iteration all target ONE directory, and on a
         # disk-backed filesystem the directory-inode lock serializes the
