@@ -627,6 +627,39 @@ def pagerank_barrier(
                 resumed = mesh.allgather(payload).get(0)
                 if resumed is not None:
                     start, rank = resumed[0], resumed[1].copy()
+
+            # Shared rank buffers (segment-routed path, same-host mesh):
+            # ONE ping/pong pair of n-vector mmaps on the mesh tmpfs holds
+            # rank and w=rank·inv_od; each task writes only its own
+            # [lo,hi) segment (no races) and every task's gather reads the
+            # SAME physical pages. This is Spark-broadcast semantics for
+            # processes (one copy per node, readers share), and on this
+            # host it is the difference between P private n-vectors
+            # thrashing the shared L3 and one L3-resident copy (measured
+            # at n=4M: 32-proc aggregate gather 2.05G/s shared vs 1.62G/s
+            # private, self-relative efficiency 0.87 vs 0.37 — see
+            # BENCH/BASELINE.md). The per-iteration exchange shrinks to
+            # one scalar plus lineage per task: writing your segment IS
+            # the allgather. tmpfs pages cannot be hugepage-backed here
+            # (shmem_enabled=never), which costs ~2x single-proc gather
+            # TLB overhead vs THP-backed private arrays — the right trade
+            # exactly when n·P exceeds LLC, which is the regime this path
+            # is selected for.
+            shared = (not rep) and isinstance(mesh, _ShmMesh)
+            if shared:
+                bufs = [os.path.join(mesh.root, f"vec{p}.buf") for p in (0, 1)]
+                if pid == 0:
+                    for b in bufs:
+                        with open(b, "wb") as f:
+                            f.truncate(2 * n * 8)  # [rank | w] halves
+                mesh.allgather(None)  # buffers exist
+                vecs = [np.memmap(b, dtype=np.float64, mode="r+", shape=(2, n))
+                        for b in bufs]
+                inv_seg = inv_od[lo:hi]
+                cur = start & 1
+                vecs[cur][0, lo:hi] = rank[lo:hi]
+                vecs[cur][1, lo:hi] = rank[lo:hi] * inv_seg
+                mesh.allgather(None)  # all segments written
             my_metrics: list[dict] = []
             iter_log: list[dict] = []
             it = start
@@ -636,8 +669,14 @@ def pagerank_barrier(
                 t0 = time.monotonic()
                 # (1) SpMV partials over this iteration's shards: claimed
                 # (steal path) or statically assigned (shared CSR kernel;
-                # worker-cached decoded arrays)
-                w_rank = rank * inv_od
+                # worker-cached decoded arrays). Shared mode gathers from
+                # the host-shared w half of the current parity buffer —
+                # no per-task O(n) multiply, no private copy.
+                if shared:
+                    cur, nxt = (it - 1) & 1, it & 1
+                    w_rank = vecs[cur][1]
+                else:
+                    w_rank = rank * inv_od
                 pmet = []
                 per_shard = []  # (part, u, s)
                 for part in (pref_order if steal else mine_parts):
@@ -808,49 +847,76 @@ def pagerank_barrier(
                 t_route = time.monotonic()
 
                 # (3) owner update of [lo, hi): base + d·contrib, δ² local.
-                # leaked is computed from the full OLD rank every task holds
-                # — same floats everywhere, so the stop decision is identical
-                leaked = float(rank[dang_idx].sum())
+                # leaked is computed from the full OLD rank — gathered from
+                # the shared buffer (shared path) or the private copy: the
+                # SAME dang_idx order over the same floats either way, so
+                # shm-shared and tcp-private vectors stay bit-identical and
+                # every task reaches the same stop decision.
+                old_full = vecs[cur][0] if shared else rank
+                leaked = float(old_full[dang_idx].sum())
                 base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
                 seg = np.full(hi - lo, base, dtype=np.float64)
                 if mine:
                     all_u = np.concatenate([u for u, _ in mine])
                     all_s = np.concatenate([s for _, s in mine])
                     seg += d * np.bincount(all_u - lo, weights=all_s, minlength=hi - lo)
-                dsq = float(((seg - rank[lo:hi]) ** 2).sum())
+                dsq = float(((seg - old_full[lo:hi]) ** 2).sum())
 
-                # (4) allgather segments (mesh round 2) — every task
-                # re-materializes the full vector, as the reference's
-                # Allgatherv does (pagerank_custom_mpi.h:62-63); per-shard
-                # lineage metrics piggyback so task 0 logs ALL partitions
-                segs = mesh.exchange({q: (seg, dsq, pmet) for q in range(P) if q != pid})
-                new = np.empty(n, dtype=np.float64)
-                new[lo:hi] = seg
-                all_met_by_pid = {pid: pmet}
-                dsq_by_pid = {pid: dsq}
-                for q, (qseg, qdsq, qmet) in segs.items():
-                    new[int(seg_bounds[q]):int(seg_bounds[q + 1])] = qseg
-                    dsq_by_pid[q] = qdsq
-                    all_met_by_pid[q] = qmet
+                if shared:
+                    # (4, shared) write own segment into the next-parity
+                    # host-shared buffer — that IS the allgather; only
+                    # scalars + lineage go through the mesh. The scalar
+                    # exchange doubles as the barrier that keeps parity
+                    # reuse safe: a task reaches iteration k+2 (overwriting
+                    # parity k) only after every peer sent its k+1 scalars,
+                    # i.e. after every read of parity k has completed.
+                    vecs[nxt][0, lo:hi] = seg
+                    vecs[nxt][1, lo:hi] = seg * inv_seg
+                    got = mesh.exchange(
+                        {q: (dsq, pmet) for q in range(P) if q != pid}
+                    )
+                    dsq_by_pid = {pid: dsq}
+                    all_met_by_pid = {pid: pmet}
+                    for q, (qdsq, qmet) in got.items():
+                        dsq_by_pid[q] = qdsq
+                        all_met_by_pid[q] = qmet
+                else:
+                    # (4) allgather segments (mesh round 2) — every task
+                    # re-materializes the full vector, as the reference's
+                    # Allgatherv does (pagerank_custom_mpi.h:62-63); per-shard
+                    # lineage metrics piggyback so task 0 logs ALL partitions
+                    segs = mesh.exchange(
+                        {q: (seg, dsq, pmet) for q in range(P) if q != pid}
+                    )
+                    new = np.empty(n, dtype=np.float64)
+                    new[lo:hi] = seg
+                    all_met_by_pid = {pid: pmet}
+                    dsq_by_pid = {pid: dsq}
+                    for q, (qseg, qdsq, qmet) in segs.items():
+                        new[int(seg_bounds[q]):int(seg_bounds[q + 1])] = qseg
+                        dsq_by_pid[q] = qdsq
+                        all_met_by_pid[q] = qmet
                 # accumulate δ² in FIXED global pid order (own dsq included
                 # at its sorted position, not first): every task sums the
                 # same floats in the same order, so a last-ulp difference
                 # cannot make tasks disagree on `converged` — a divergent
-                # stop decision would deadlock the mesh. This restores the
-                # 'same floats, same order' invariant the replicate path has.
+                # stop decision would deadlock the mesh. Same invariant as
+                # the replicate path.
                 nsq = 0.0
                 all_met = []
                 for q in sorted(dsq_by_pid):
                     nsq += dsq_by_pid[q]
                     all_met.extend(all_met_by_pid[q])
-                rank = new
+                if not shared:
+                    rank = new
                 norm = float(np.sqrt(nsq))
                 converged = bool(check_convergence and norm <= eps)
                 done = converged or it >= max_iter
                 my_metrics.extend(pmet)
                 if pid == 0:
+                    full = vecs[nxt][0] if shared else rank
                     iter_log.append(
-                        {"iteration": it, "norm": norm, "mass": float(rank.sum()),
+                        {"iteration": it, "norm": norm, "mass": float(full.sum()),
                          "wall_ms": (time.monotonic() - t0) * 1e3,
                          "kernel_ms": (t_kernel - t0) * 1e3,
                          "route_ms": (t_route - t_kernel) * 1e3,
@@ -863,10 +929,14 @@ def pagerank_barrier(
                         from linkgraph.checkpoint import write_iteration_arrays
 
                         write_iteration_arrays(
-                            ckpt_root, run_id, it, ids, rank, iter_log[-1],
+                            ckpt_root, run_id, it, ids, np.asarray(full),
+                            iter_log[-1],
                             [{"iteration": it, **mm} for mm in all_met],
                         )
                 if done:
+                    if shared and pid == 0:
+                        # materialize before mesh.close() sweeps the tmpfs
+                        rank = np.array(vecs[nxt][0])
                     break
 
             if pid == 0:

@@ -44,6 +44,33 @@ def test_replicate_and_routed_paths_allclose(spark):
     assert np.allclose(_vec(a), _vec(b), atol=1e-9, rtol=0)
 
 
+def test_shared_buffer_resume_equals_uninterrupted(spark, tmp_path):
+    """Segment-routed + shm => host-shared ping/pong rank buffers. A run
+    interrupted at iteration k and resumed must land on the same vector as
+    an uninterrupted run (same floats: the shared path reads/writes the
+    same values the private path holds, in the same order)."""
+    from linkgraph.checkpoint import ParquetManifestStore
+
+    src, dst, n = fx.toy_chain_dangling()
+    df = fx.edges_df(spark, src, dst)
+    store = ParquetManifestStore(str(tmp_path / "ckpt"))
+    pagerank_barrier(
+        df, eps=1e-9, max_iter=5, num_tasks=3, store=store, run_id="sb",
+        mesh_transport="shm", replicate=False,
+    )
+    assert store.latest_iteration("sb") == 5
+    resumed = pagerank_barrier(
+        df, eps=1e-9, max_iter=300, num_tasks=3, store=store, run_id="sb",
+        mesh_transport="shm", replicate=False,
+    )
+    full = pagerank_barrier(
+        df, eps=1e-9, max_iter=300, num_tasks=3,
+        mesh_transport="shm", replicate=False,
+    )
+    assert resumed.iterations == full.iterations
+    assert np.array_equal(_vec(resumed), _vec(full))
+
+
 def test_shm_mesh_cleans_up(spark):
     import glob
 
