@@ -501,6 +501,73 @@ def q_tpch_nation_window(spark, sf_dir):
     )
 
 
+def q_tpch_regional_volume(spark, sf_dir):
+    """TPC-H Q5-shape local-supplier volume: 6-way star join (fact
+    lineitem⋈orders shuffles on its keys; customer/supplier/nation/region
+    dimensions broadcast) with the same-nation colocation predicate
+    c_nationkey = s_nationkey, rolled up to (region, nation) revenue.
+    Exercises the full dimension chain including the otherwise-unused
+    supplier and region tables."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+                ),
+                2,
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_brand_top_suppliers(spark, sf_dir):
+    """Grouped top-k over two dimensions: revenue per (brand, supplier)
+    from lineitem⋈part⋈supplier (both dimensions broadcast), then the top
+    3 suppliers per brand by a partitioned window rank ordered on the
+    EXACT decimal revenue (tie-broken on s_suppkey, so both engines pick
+    the same rows)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_suppkey", "s_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("_rev"), F.asc("s_suppkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "p_brand", "s_suppkey", "s_name",
+            F.round("_rev", 2).cast("double").alias("revenue"), "rank",
+        )
+    )
+
+
 def q_ppr_step(spark, sf_dir):
     """Two personalized-PageRank steps (teleport + leaked dangling mass to
     the user-node distribution) over the bipartite user->event-type graph.
@@ -695,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_nation_window": q_tpch_nation_window,
+        "tpch_regional_volume": q_tpch_regional_volume,
+        "tpch_brand_top_suppliers": q_tpch_brand_top_suppliers,
         "ppr_step": q_ppr_step,
         "hits_step": q_hits_step,
         "kcore_round": q_kcore_round,
@@ -986,6 +1055,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY r DESC, c_custkey ASC) AS INT) AS rank
             FROM rev
             QUALIFY rank <= 10
+        """,
+        "tpch_regional_volume": """
+            SELECT r_name, n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                  * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "tpch_brand_top_suppliers": """
+            WITH rev AS (
+                SELECT p_brand, s_suppkey, s_name,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS r
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY p_brand, s_suppkey, s_name
+            )
+            SELECT p_brand, s_suppkey, s_name, CAST(round(r, 2) AS DOUBLE) AS revenue,
+                   CAST(row_number() OVER (PARTITION BY p_brand ORDER BY r DESC, s_suppkey ASC) AS INT) AS rank
+            FROM rev
+            QUALIFY rank <= 3
         """,
         "ppr_step": f"""
             WITH edges AS ({_BIP}),
