@@ -205,6 +205,27 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_pagerank_k5(spark, sf_dir):
+    """Five fixed Family-A power iterations (SURVEY §2.8) through the real
+    pagerank_dataframe loop — per-iteration dangling-mass redistribution
+    included (pagerank_custom.h:70-87). Unlike `pagerank` (converged,
+    rows-only), a fixed iteration count IS ANSI-SQL-expressible by unrolling
+    the recurrence into chained CTEs, so the whole loop body — gather join,
+    row reduce, leaked-mass scalar, outer join against the vertex set —
+    gets a value-level oracle check, not just the single step."""
+    from linkgraph.operators.pagerank import pagerank_dataframe
+
+    res = pagerank_dataframe(
+        _bipartite_edges(spark, sf_dir),
+        eps=0.0,
+        max_iter=5,
+        check_convergence=False,
+    )
+    return res.ranks.select(
+        F.col("node").alias("node_name"), F.round("rank", 8).alias("rank5")
+    )
+
+
 def q_lpa(spark, sf_dir):
     """Label propagation (loop — rows-only; exactness pinned in tests/)."""
     from linkgraph.operators.lpa import label_propagation
@@ -740,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": q_components,
         "components_twophase": q_components_twophase,
         "pagerank": q_pagerank,
+        "pagerank_k5": q_pagerank_k5,
         "lpa": q_lpa,
         "triangles": q_triangles,
         "exact_dedup": q_exact_dedup,
@@ -787,6 +809,48 @@ _TRANS = """
 _NODES = f"SELECT src AS node FROM ({_BIP}) UNION SELECT dst FROM ({_BIP})"
 
 _DOC_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _pagerank_unrolled_sql(k: int, d: float = D) -> str:
+    """Family-A PageRank recurrence unrolled into k chained CTE steps
+    (pagerank_custom.h:70-87): leaked_i = Σ r_i over dangling vertices,
+    base_i = (leaked_i + (1-leaked_i)(1-d))/n, r_{i+1} = base_i + d·Σ w·r_i.
+    Plain ANSI SQL — no recursion, so DuckDB evaluates it exactly like the
+    engine's loop and the driver gate can hash-compare the values."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+            l{i} AS (
+              SELECT coalesce(sum(r.r), 0.0) AS leaked
+              FROM r{i} r JOIN dang USING (node)
+            ),
+            c{i} AS (
+              SELECT we.dst AS node, sum(we.w * r.r) AS contrib
+              FROM we JOIN r{i} r ON we.src = r.node GROUP BY we.dst
+            ),
+            r{i + 1} AS (
+              SELECT nodes.node,
+                     (l{i}.leaked + (1.0 - l{i}.leaked) * {1.0 - d}) / nn.n
+                       + {d} * coalesce(c{i}.contrib, 0.0) AS r
+              FROM nodes CROSS JOIN nn CROSS JOIN l{i}
+              LEFT JOIN c{i} ON nodes.node = c{i}.node
+            )""")
+    return f"""
+        WITH edges AS ({_BIP}),
+        nodes AS ({_NODES}),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        we AS (
+          SELECT e.src, e.dst, 1.0 / od.out_deg AS w
+          FROM edges e JOIN od ON e.src = od.src
+        ),
+        dang AS (
+          SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM od)
+        ),
+        r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+        {",".join(steps)}
+        SELECT node AS node_name, round(r, 8) AS rank5 FROM r{k}
+    """
 
 
 def _stopword_hits_sql(col: str, words: list[str]) -> str:
@@ -842,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
                    round(base.b + 0.85 * coalesce(contribs.contrib, 0.0), 8) AS rank1
             FROM nodes CROSS JOIN base LEFT JOIN contribs ON nodes.node = contribs.node
         """,
+        "pagerank_k5": _pagerank_unrolled_sql(5),
         "top_hubs": f"""
             SELECT dst AS node_name, count(*) AS in_deg FROM ({_BIP})
             GROUP BY dst ORDER BY in_deg DESC, node_name ASC LIMIT 10
