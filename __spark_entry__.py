@@ -205,6 +205,21 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_lpa_k3(spark, sf_dir):
+    """Three fixed synchronous LPA rounds through the real label_propagation
+    loop, on STRING node ids so the smaller-label tie-break is byte-order —
+    reproducible in ANSI SQL by unrolling the rounds into chained CTEs
+    (the fixpoint `lpa` query stays rows-only). Early stop is safe: the
+    update is a deterministic function of the labels, so a converged round
+    is a fixed point and extra unrolled rounds are no-ops."""
+    from linkgraph.operators.lpa import label_propagation
+
+    res = label_propagation(_bipartite_edges(spark, sf_dir), max_iter=3)
+    return res.labels.select(
+        F.col("node").alias("node_name"), F.col("label").alias("label_name")
+    )
+
+
 def q_pagerank_k5(spark, sf_dir):
     """Five fixed Family-A power iterations (SURVEY §2.8) through the real
     pagerank_dataframe loop — per-iteration dangling-mass redistribution
@@ -763,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_k5": q_pagerank_k5,
         "lpa": q_lpa,
+        "lpa_k3": q_lpa_k3,
         "triangles": q_triangles,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
@@ -853,6 +869,40 @@ def _pagerank_unrolled_sql(k: int, d: float = D) -> str:
     """
 
 
+def _lpa_unrolled_sql(k: int) -> str:
+    """Synchronous LPA (mode of neighbor labels, ties to the SMALLER label,
+    isolated vertices keep theirs — operators/lpa.py semantics) unrolled
+    into k chained CTE rounds. Labels are string node ids, so the tie-break
+    is plain byte order in both engines."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+            cnt{i} AS (
+              SELECT s.dst AS node, r.label, count(*) AS cnt
+              FROM sym s JOIN l{i} r ON s.src = r.node GROUP BY s.dst, r.label
+            ),
+            best{i} AS (
+              SELECT node, label AS cand FROM cnt{i}
+              QUALIFY row_number() OVER (PARTITION BY node
+                                         ORDER BY cnt DESC, label ASC) = 1
+            ),
+            l{i + 1} AS (
+              SELECT l.node, coalesce(b.cand, l.label) AS label
+              FROM l{i} l LEFT JOIN best{i} b ON l.node = b.node
+            )""")
+    return f"""
+        WITH e AS ({_BIP}),
+        sym AS (
+          SELECT DISTINCT src, dst FROM e WHERE src <> dst
+          UNION SELECT DISTINCT dst, src FROM e WHERE src <> dst
+        ),
+        nodes AS ({_NODES}),
+        l0 AS (SELECT node, node AS label FROM nodes),
+        {",".join(steps)}
+        SELECT node AS node_name, label AS label_name FROM l{k}
+    """
+
+
 def _stopword_hits_sql(col: str, words: list[str]) -> str:
     padded = f"(' ' || {col} || ' ')"
     terms = [
@@ -907,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes CROSS JOIN base LEFT JOIN contribs ON nodes.node = contribs.node
         """,
         "pagerank_k5": _pagerank_unrolled_sql(5),
+        "lpa_k3": _lpa_unrolled_sql(3),
         "top_hubs": f"""
             SELECT dst AS node_name, count(*) AS in_deg FROM ({_BIP})
             GROUP BY dst ORDER BY in_deg DESC, node_name ASC LIMIT 10
