@@ -69,7 +69,8 @@ def run() -> dict:
     qs = entry_mod.queries()
     for name in ["edge_derivation", "out_degrees", "pagerank_step", "top_hubs",
                  "exact_dedup", "token_count", "quality", "cosine_topk",
-                 "minhash_near_dups", "components", "triangles"]:
+                 "minhash_near_dups", "components", "triangles",
+                 "pagerank_k5", "lpa_k3"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()  # force full execution
         queries[name] = round(time.monotonic() - t0, 3)
