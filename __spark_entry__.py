@@ -398,6 +398,30 @@ def q_word_jaccard(spark, sf_dir):
     )
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """End-to-end near-dup CLUSTERING — the composite a training-data dedup
+    pipeline actually runs: verified Jaccard pairs at threshold 0.8 → union
+    into clusters via connected components → canonical doc = min doc_id per
+    cluster (singletons keep their own id). Pure composition of two already
+    oracle-checked operators (ngram_jaccard_pairs + connected_components),
+    so the whole pipeline gets a value-hash oracle: thresholded pairs feed
+    a recursive reachability CTE in DuckDB. At scale the candidate set
+    comes from minhash_lsh instead of all-pairs; the cluster/canonicalize
+    stages are identical."""
+    from linkgraph.operators.components import connected_components
+
+    pairs = q_word_jaccard(spark, sf_dir).filter(F.col("jac8") >= 0.8)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges).components
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("node")
+    )
+    return ids.join(comp, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("component", "node").alias("cluster_id"),
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     """Multi-table sign-LSH approximate top-k (deterministic hyperplanes;
     rows-only check — recall vs the exact oracle is pinned in tests/)."""
@@ -791,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "lpa_round": q_lpa_round,
         "word_jaccard": q_word_jaccard,
+        "neardup_clusters": q_neardup_clusters,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "winnowing": q_winnowing,
@@ -1110,6 +1135,33 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter ON cand.a = inter.a AND cand.b = inter.b
             JOIN sizes sa ON sa.doc_id = cand.a
             JOIN sizes sb ON sb.doc_id = cand.b
+        """,
+        "neardup_clusters": f"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, unnest(string_split({_DOC_NORM}, ' ')) AS tok
+              FROM documents WHERE doc_id < 40
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+            inter AS (
+              SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS i
+              FROM toks ta JOIN toks tb USING (tok)
+              WHERE ta.doc_id < tb.doc_id
+              GROUP BY ta.doc_id, tb.doc_id
+            ),
+            pairs AS (
+              SELECT inter.a, inter.b FROM inter
+              JOIN sizes sa ON sa.doc_id = inter.a
+              JOIN sizes sb ON sb.doc_id = inter.b
+              WHERE round(inter.i * 1.0 / (sa.sz + sb.sz - inter.i), 8) >= 0.8
+            ),
+            und AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+            reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM ids
+              UNION
+              SELECT und.v, reach.lab FROM reach JOIN und ON und.u = reach.node
+            )
+            SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
         """,
         "resize_plan": """
             WITH dims AS (
