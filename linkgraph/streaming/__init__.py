@@ -3,3 +3,8 @@ from linkgraph.streaming.edges import (  # noqa: F401
     stream_edge_counts,
     stream_reply_edges,
 )
+from linkgraph.streaming.hubs import (  # noqa: F401
+    read_degree_table,
+    stream_in_degree_totals,
+    top_hubs_snapshot,
+)

@@ -97,3 +97,61 @@ def test_stream_edge_counts_rollup(spark, tdir):
     assert {(r["src_name"], r["dst_name"]): r["w"] for r in got} == {
         (r["src_name"], r["dst_name"]): r["w"] for r in want
     }
+
+
+def test_stream_in_degree_totals_incremental(spark, tmp_path):
+    """Incremental degree maintenance: drain two file drops through the SAME
+    checkpoint (state survives the restart), assert the maintained table
+    equals batch in_degrees over everything seen, and the top-k snapshot
+    off the maintained table matches the batch top hubs."""
+    from linkgraph.operators.degrees import in_degrees
+    from linkgraph.streaming import (
+        read_transcript_stream,
+        read_degree_table,
+        stream_in_degree_totals,
+        stream_reply_edges,
+        top_hubs_snapshot,
+    )
+
+    src = str(tmp_path / "transcripts")
+    table = str(tmp_path / "deg_table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    t1 = generate_transcripts(spark, n_convs=60, seed=3)
+    t1.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        edges = stream_reply_edges(read_transcript_stream(spark, src))
+        q = stream_in_degree_totals(
+            edges, table, ckpt, n_buckets=8, available_now=True
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = {r["dst"]: r["in_deg"] for r in read_degree_table(spark, table).collect()}
+    want1 = {
+        r["node"]: r["in_deg"]
+        for r in in_degrees(derive_edges(spark.read.parquet(src))).collect()
+    }
+    assert first == want1
+
+    t2 = generate_transcripts(spark, n_convs=40, seed=9).withColumn(
+        "conv_id", F.concat(F.lit("b2-"), F.col("conv_id"))
+    )
+    t2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {r["dst"]: r["in_deg"] for r in read_degree_table(spark, table).collect()}
+    want = {
+        r["node"]: r["in_deg"]
+        for r in in_degrees(derive_edges(spark.read.parquet(src))).collect()
+    }
+    assert got == want
+
+    # top-k snapshot off the maintained table == batch top-k
+    snap = [
+        (r["dst"], r["in_deg"]) for r in top_hubs_snapshot(spark, table, k=5).collect()
+    ]
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert snap == want_top
