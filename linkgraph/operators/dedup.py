@@ -61,20 +61,57 @@ def shingles(
         .agg(F.first("toks").alias("toks"))
     )
     win_starts = F.sequence(F.lit(0), F.size("toks") - F.lit(shingle_len))
+    exploded = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") <= F.lit(shingle_len),
+                F.array(F.concat_ws(" ", F.col("toks"))),
+            ).otherwise(
+                F.transform(
+                    win_starts,
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, shingle_len)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    return exploded.distinct()
+
+
+def hashed_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 5,
+) -> DataFrame:
+    """[id, sh_hash] — distinct xxhash64 per shingle. Hashing BEFORE the
+    distinct means the dedup shuffle moves 8 bytes per shingle instead of
+    the ~tens-of-bytes string — the string never leaves the map side. The
+    per-doc shingle SET survives exactly (64-bit collisions negligible),
+    which is all MinHash consumes."""
+    toks = F.split(_normalize(F.col(text_col)), " ")
+    base = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .groupBy("id")
+        .agg(F.first("toks").alias("toks"))
+    )
+    win_starts = F.sequence(F.lit(0), F.size("toks") - F.lit(shingle_len))
     return (
         base.select(
             "id",
             F.explode(
                 F.when(
                     F.size("toks") <= F.lit(shingle_len),
-                    F.array(F.concat_ws(" ", F.col("toks"))),
+                    F.array(F.xxhash64(F.concat_ws(" ", F.col("toks")))),
                 ).otherwise(
                     F.transform(
                         win_starts,
-                        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, shingle_len)),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(" ", F.slice("toks", i + 1, shingle_len))
+                        ),
                     )
                 )
-            ).alias("shingle"),
+            ).alias("sh_hash"),
         )
         .distinct()
     )
@@ -87,10 +124,19 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_len: int = 5,
 ) -> DataFrame:
-    """[id, sig: array<long>] — k-minhash signature per document."""
-    sh = shingles(docs, id_col, text_col, shingle_len)
+    """[id, sig: array<long>] — k-minhash signature per document.
+
+    The k-hash family is derived from ONE string hash per shingle:
+    h_i(s) = xxhash64(xxhash64(s), i). Hashing the variable-length shingle
+    bytes once and mixing the 8-byte result k times is ~k× less string
+    traffic than k independent string hashes, with the same independence
+    guarantees (each h_i is a fresh xxhash64 over the 16-byte (base, i)
+    input); and the shingle-set dedup shuffle moves hashes, not strings
+    (hashed_shingles)."""
+    sh = hashed_shingles(docs, id_col, text_col, shingle_len)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.xxhash64(F.col("sh_hash"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
