@@ -261,3 +261,21 @@ def test_ivf_topk_recall(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in ex:
             assert abs(r["cosine"] - ex[key]) < 1e-9
+
+def test_hashed_shingles_equal_hashed_string_shingles(spark, docs):
+    """hashed_shingles must be exactly the string shingle set mapped through
+    xxhash64 — the minhash refactor (hash before the distinct shuffle)
+    cannot change the per-doc shingle set."""
+    from pyspark.sql import functions as F
+
+    sample = docs.filter("doc_id < 30")
+    via_strings = {
+        (r["id"], r["h"])
+        for r in dedup.shingles(sample)
+        .select("id", F.xxhash64("shingle").alias("h"))
+        .collect()
+    }
+    direct = {
+        (r["id"], r["sh_hash"]) for r in dedup.hashed_shingles(sample).collect()
+    }
+    assert direct == via_strings
