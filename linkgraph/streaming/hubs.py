@@ -27,8 +27,6 @@ retry. Parity with the batch ``in_degrees`` is pinned in tests.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,9 +60,13 @@ def stream_in_degree_totals(
                 return
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             out = updated
-            if os.path.isdir(table_dir) and any(
-                d.startswith("bucket=") for d in os.listdir(table_dir)
-            ):
+            # existence probe through the Hadoop FS API (not os.*): table_dir
+            # may live on HDFS/S3 — a local-only check would silently drop
+            # the unchanged keys of rewritten buckets on a cluster.
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(table_dir)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(hpath) and fs.listStatus(hpath):
                 # keep the unchanged keys living in the buckets we rewrite
                 existing = spark.read.schema(DEGREE_SCHEMA).parquet(table_dir)
                 keep = existing.filter(F.col("bucket").isin(affected)).join(
