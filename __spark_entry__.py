@@ -317,6 +317,34 @@ def q_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+def q_corpus_filter(spark, sf_dir):
+    """The end-to-end keep/drop decision a training-data pipeline runs:
+    language gate AND length gate AND quality gate, with the FIRST failing
+    gate as the reason (gate order: language, too-short, too-long, quality).
+    Pure composition of the oracle-checked textstats operators — one scan,
+    all Catalyst. Bounds are demo-scaled to the test corpus (20..80 tokens,
+    quality >= 0.6 on the 8-dp rounded score) so every reason appears."""
+    from linkgraph.operators.textstats import language_id, quality_score, token_count
+
+    d = _docs(spark, sf_dir)
+    j = (
+        quality_score(d)
+        .select("doc_id", F.round("quality", 8).alias("q8"))
+        .join(language_id(d).select("doc_id", "lang_pred"), "doc_id")
+        .join(token_count(d).select("doc_id", "n_tokens"), "doc_id")
+    )
+    reason = (
+        F.when(F.col("lang_pred") != "en", "non_english")
+        .when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("n_tokens") > 80, "too_long")
+        .when(F.col("q8") < 0.6, "low_quality")
+        .otherwise("ok")
+    )
+    return j.select(
+        "doc_id", (reason == "ok").alias("keep"), reason.alias("reason")
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     """md5 fingerprint of whitespace-normalized lowercased text (the
     SQL-portable variant of textstats.fingerprint)."""
@@ -808,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality": q_quality,
         "language_id": q_language_id,
+        "corpus_filter": q_corpus_filter,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1388,4 +1417,25 @@ def oracle_sql() -> dict[str, str]:
     }
     # the two-phase algorithm must produce byte-identical components
     out["components_twophase"] = out["components"]
+    # corpus_filter composes the three textstats oracles verbatim — same
+    # gate order as the Spark query (language, too-short, too-long, quality)
+    out["corpus_filter"] = f"""
+        WITH q AS ({out["quality"]}),
+        l AS ({out["language_id"]}),
+        t AS ({out["token_count"]}),
+        j AS (
+          SELECT q.doc_id, round(q.quality, 8) AS q8, l.lang_pred, t.n_tokens
+          FROM q JOIN l USING (doc_id) JOIN t USING (doc_id)
+        ),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN lang_pred <> 'en' THEN 'non_english'
+                      WHEN n_tokens < 20 THEN 'too_short'
+                      WHEN n_tokens > 80 THEN 'too_long'
+                      WHEN q8 < 0.6 THEN 'low_quality'
+                      ELSE 'ok' END AS reason
+          FROM j
+        )
+        SELECT doc_id, reason = 'ok' AS keep, reason FROM r
+    """
     return out
