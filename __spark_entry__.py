@@ -241,6 +241,26 @@ def q_pagerank_k5(spark, sf_dir):
     )
 
 
+def q_pagerank_b_k5(spark, sf_dir):
+    """Five fixed Family-B (mtx/OCL) iterations: plain (1-d)/n base, mass
+    leaks through dangling vertices, ONE final sum-normalization
+    (pagerank_OCL.h:156-161, kernels/sparse_matrix.cl:8-18) — the second
+    semantic family's loop body, value-checked via the same unrolled-CTE
+    oracle with the B recurrence."""
+    from linkgraph.operators.pagerank import pagerank_dataframe
+
+    res = pagerank_dataframe(
+        _bipartite_edges(spark, sf_dir),
+        eps=0.0,
+        max_iter=5,
+        check_convergence=False,
+        family="b",
+    )
+    return res.ranks.select(
+        F.col("node").alias("node_name"), F.round("rank", 8).alias("rank5")
+    )
+
+
 def q_lpa(spark, sf_dir):
     """Label propagation (loop — rows-only; exactness pinned in tests/)."""
     from linkgraph.operators.lpa import label_propagation
@@ -829,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_twophase": q_components_twophase,
         "pagerank": q_pagerank,
         "pagerank_k5": q_pagerank_k5,
+        "pagerank_b_k5": q_pagerank_b_k5,
         "lpa": q_lpa,
         "lpa_k3": q_lpa_k3,
         "triangles": q_triangles,
@@ -881,30 +902,47 @@ _NODES = f"SELECT src AS node FROM ({_BIP}) UNION SELECT dst FROM ({_BIP})"
 _DOC_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
-def _pagerank_unrolled_sql(k: int, d: float = D) -> str:
-    """Family-A PageRank recurrence unrolled into k chained CTE steps
+def _pagerank_unrolled_sql(k: int, d: float = D, family: str = "a") -> str:
+    """PageRank recurrence unrolled into k chained CTE steps. Family "a"
     (pagerank_custom.h:70-87): leaked_i = Σ r_i over dangling vertices,
     base_i = (leaked_i + (1-leaked_i)(1-d))/n, r_{i+1} = base_i + d·Σ w·r_i.
-    Plain ANSI SQL — no recursion, so DuckDB evaluates it exactly like the
-    engine's loop and the driver gate can hash-compare the values."""
+    Family "b" (pagerank_OCL.h:156-161): base = (1-d)/n, mass leaks, one
+    final sum-normalization after the k steps. Plain ANSI SQL — no
+    recursion, so DuckDB evaluates it exactly like the engine's loop and
+    the driver gate can hash-compare the values."""
     steps = []
     for i in range(k):
-        steps.append(f"""
+        if family == "a":
+            base = (
+                f"(l{i}.leaked + (1.0 - l{i}.leaked) * {1.0 - d}) / nn.n"
+            )
+            leak_cte = f"""
             l{i} AS (
               SELECT coalesce(sum(r.r), 0.0) AS leaked
               FROM r{i} r JOIN dang USING (node)
-            ),
+            ),"""
+            leak_join = f" CROSS JOIN l{i}"
+        else:
+            base = f"{1.0 - d} / nn.n"
+            leak_cte = ""
+            leak_join = ""
+        steps.append(f"""{leak_cte}
             c{i} AS (
               SELECT we.dst AS node, sum(we.w * r.r) AS contrib
               FROM we JOIN r{i} r ON we.src = r.node GROUP BY we.dst
             ),
             r{i + 1} AS (
               SELECT nodes.node,
-                     (l{i}.leaked + (1.0 - l{i}.leaked) * {1.0 - d}) / nn.n
-                       + {d} * coalesce(c{i}.contrib, 0.0) AS r
-              FROM nodes CROSS JOIN nn CROSS JOIN l{i}
+                     {base} + {d} * coalesce(c{i}.contrib, 0.0) AS r
+              FROM nodes CROSS JOIN nn{leak_join}
               LEFT JOIN c{i} ON nodes.node = c{i}.node
             )""")
+    final = (
+        f"SELECT node AS node_name, round(r, 8) AS rank5 FROM r{k}"
+        if family == "a"
+        else f"""SELECT node AS node_name,
+                round(r / (SELECT sum(r) FROM r{k}), 8) AS rank5 FROM r{k}"""
+    )
     return f"""
         WITH edges AS ({_BIP}),
         nodes AS ({_NODES}),
@@ -919,7 +957,7 @@ def _pagerank_unrolled_sql(k: int, d: float = D) -> str:
         ),
         r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
         {",".join(steps)}
-        SELECT node AS node_name, round(r, 8) AS rank5 FROM r{k}
+        {final}
     """
 
 
@@ -1011,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes CROSS JOIN base LEFT JOIN contribs ON nodes.node = contribs.node
         """,
         "pagerank_k5": _pagerank_unrolled_sql(5),
+        "pagerank_b_k5": _pagerank_unrolled_sql(5, family="b"),
         "lpa_k3": _lpa_unrolled_sql(3),
         "top_hubs": f"""
             SELECT dst AS node_name, count(*) AS in_deg FROM ({_BIP})
