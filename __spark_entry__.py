@@ -10,9 +10,12 @@ for the graph queries is derived from ``events``:
 * transition edges : 'e:'||prev_type -> 'e:'||type per user ordered by
                      (ts, event_id) — the reply-edge rule shape (lag window)
 
-Loop-based algorithms (full PageRank, LPA) have no tractable ANSI-SQL
-equivalent and take the rows-only check; connected components DOES get an
-exact oracle via a recursive reachability CTE.
+Convergence-loop algorithms (full PageRank, LPA fixpoint) have no tractable
+ANSI-SQL equivalent and take the rows-only check — but their LOOP BODIES
+are value-checked: fixed-k variants (`pagerank_k5`, `pagerank_b_k5`,
+`lpa_k3`) unroll the recurrence into chained CTEs that DuckDB evaluates
+exactly, and connected components gets an exact oracle via a recursive
+reachability CTE.
 """
 
 from __future__ import annotations
