@@ -45,6 +45,15 @@ def main(argv: list[str] | None = None) -> dict:
         "reference's benchmark mode, global_config.h CHECK_CONVERGENCE=0)",
     )
     p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument(
+        "--family",
+        choices=["a", "b"],
+        default="a",
+        help="semantic family (dataframe strategy only): a = custom family "
+        "with per-iteration dangling redistribution (the correctness "
+        "anchor); b = mtx/OCL family, leak + final sum-normalization "
+        "(pagerank_OCL.h:156-161) — for diffing against main_ocl outputs",
+    )
     p.add_argument("--num-shards", type=int, default=None)
     p.add_argument(
         "--strategy", choices=["barrier", "sharded", "dataframe"], default="barrier"
@@ -113,6 +122,8 @@ def main(argv: list[str] | None = None) -> dict:
             g = ShardedGraph.build(edges, num_shards=args.num_shards, shard_dir=args.shard_dir)
         m = g.m
         build_sec = time.monotonic() - t0
+        if args.family != "a":
+            p.error("--family b is only implemented for --strategy dataframe")
         fn = pagerank_barrier if args.strategy == "barrier" else pagerank_sharded
         kw = {"mesh_transport": args.mesh} if (
             args.strategy == "barrier" and args.mesh
@@ -141,6 +152,7 @@ def main(argv: list[str] | None = None) -> dict:
             check_convergence=not args.no_convergence,
             store=store,
             run_id=args.run_id,
+            family=args.family,
         )
         wall = time.monotonic() - t0
 
