@@ -750,6 +750,46 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_tpch_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-shape: revenue from lineitems below 20% of their part's
+    average quantity, per brand. The correlated scalar subquery is
+    DECORRELATED explicitly — one groupBy computes every part's threshold,
+    then an equi-join + filter replaces the per-row subquery (the plan
+    Catalyst/DuckDB both want: no repeated subquery evaluation, one
+    aggregate + one join)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment — the reproducible-split
+    primitive every training pipeline needs: split by the md5 of the
+    STABLE KEY (never by row position or rand(), which reshuffle on every
+    re-run/repartition). Thresholds are hex-prefix compares on the digest
+    ('cd'/256 = 80.1% train, 'e6' = +9.8% val, rest test) so the rule is
+    pure string comparison — portable to any engine, no bigint parsing."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
 def q_tpch_rollup(spark, sf_dir):
     """ROLLUP aggregate (grouping-sets coverage): lineitem quantity and
     revenue per (returnflag, linestatus) with subtotals and a grand total;
@@ -885,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_round": q_kcore_round,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
+        "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
+        "dataset_split": q_dataset_split,
         "customers_few_orders": q_customers_few_orders,
         "emb_near_pairs": q_emb_near_pairs,
         "event_windows": q_event_windows,
@@ -1459,6 +1501,27 @@ def oracle_sql() -> dict[str, str]:
     }
     # the two-phase algorithm must produce byte-identical components
     out["components_twophase"] = out["components"]
+    out["tpch_small_qty_revenue"] = """
+        WITH thresh AS (
+          SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN thresh t ON t.l_partkey = l.l_partkey
+        WHERE l.l_quantity < t.qty_thresh
+        GROUP BY p.p_brand
+    """
+    out["dataset_split"] = """
+        SELECT doc_id,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd' THEN 'train'
+                    WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
     # corpus_filter composes the three textstats oracles verbatim — same
     # gate order as the Spark query (language, too-short, too-long, quality)
     out["corpus_filter"] = f"""
