@@ -34,6 +34,7 @@ protocol; this file is the pairing evidence).
 
 Run:  python bench_scaling_pairs.py
 Env:  PAIRS_REPEATS (6), PAIRS_ITERS_N (24; the 4N side runs 4x),
+      PAIRS_OUT (scaling_pairs.json; output filename under BENCH/),
       SCALING_CONVS/SCALING_SHARDS/SCALING_WORKDIR as bench_scaling.py.
 """
 
@@ -162,7 +163,10 @@ def main() -> dict:
         ),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_pairs.json"), "w") as f:
+    # PAIRS_OUT redirects the record (e.g. scaling_pairs_largen.json for
+    # large-n runs) so re-runs cannot clobber the headline evidence file.
+    out_name = os.environ.get("PAIRS_OUT", "scaling_pairs.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({
         k: {kk: v[kk] for kk in
