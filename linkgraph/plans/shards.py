@@ -614,6 +614,12 @@ class ShardedGraph:
                 F.col("dst_idx").cast(idx_t).alias("dst_idx"),
                 "part",
             )
+            # hash- not range-repartition, deliberately: dense part ids make
+            # hash%n_parts collide (~1/e of write tasks empty, a few carrying
+            # 2-4 parts — a bounded write-stage tail), but repartitionByRange
+            # would SAMPLE the child to pick boundaries, i.e. execute the
+            # three m-row joins twice. At scale the doubled map work costs
+            # more than the write tail (measured equal at sf0.1).
             .repartition(n_parts, "part")
             .write.mode("overwrite")
             .partitionBy("part")
