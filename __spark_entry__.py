@@ -349,12 +349,14 @@ def q_corpus_filter(spark, sf_dir):
     quality >= 0.6 on the 8-dp rounded score) so every reason appears."""
     from linkgraph.operators.textstats import language_id, quality_score, token_count
 
-    d = _docs(spark, sf_dir)
-    j = (
-        quality_score(d)
-        .select("doc_id", F.round("quality", 8).alias("q8"))
-        .join(language_id(d).select("doc_id", "lang_pred"), "doc_id")
-        .join(token_count(d).select("doc_id", "n_tokens"), "doc_id")
+    # the textstats operators APPEND columns, so the composition is a chain —
+    # one scan of documents, zero joins (vs joining three operator outputs,
+    # which plans as three scans)
+    j = token_count(language_id(quality_score(_docs(spark, sf_dir)))).select(
+        "doc_id",
+        F.round("quality", 8).alias("q8"),
+        "lang_pred",
+        "n_tokens",
     )
     reason = (
         F.when(F.col("lang_pred") != "en", "non_english")
