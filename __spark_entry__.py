@@ -187,8 +187,11 @@ def q_components_twophase(spark, sf_dir):
 
 def q_pagerank(spark, sf_dir):
     """Full converged PageRank (loop — rows-only check; exactness is pinned
-    by tests/ against the numpy oracle instead)."""
-    from linkgraph.operators.pagerank import pagerank_sharded
+    by tests/ against the numpy oracle instead). Routes through the
+    regime-dispatching ``pagerank`` entry point: at contract scale it picks
+    the fused sharded batch engine; above the dense-vector budget it would
+    fall back to the unbounded dataframe plan (round-2 VERDICT #1)."""
+    from linkgraph.operators.pagerank import pagerank
 
     edges = _bipartite_edges(spark, sf_dir).unionByName(
         _transition_edges(spark, sf_dir)
@@ -196,7 +199,7 @@ def q_pagerank(spark, sf_dir):
     ids = edges.select(
         F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
     )
-    res = pagerank_sharded(ids, eps=1e-6, max_iter=200)
+    res = pagerank(ids, eps=1e-6, max_iter=200)
     names = (
         edges.select(F.col("src").alias("node_name"))
         .union(edges.select("dst"))

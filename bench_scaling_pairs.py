@@ -139,6 +139,19 @@ def main() -> dict:
             recs.append({"lo": rlo, "hi": rhi, "efficiency": round(eff, 4)})
             print(f"  pair {lo}->{hi} #{i}: {tlo/1e6:.0f}M vs {thi/1e6:.0f}M "
                   f"-> eff {eff:.3f}", file=sys.stderr)
+        if not effs:
+            # every repeat of this pair died twice: record the failure
+            # explicitly instead of letting median([]) abort the protocol
+            print(f"  pair {lo}->{hi}: all {repeats} repeats failed; skipping",
+                  file=sys.stderr)
+            pairs_out[f"{lo}_to_{hi}"] = {
+                "cpus": [cpus_lo, cpus_hi],
+                "iters": [iters_n, 4 * iters_n],
+                "runs": [],
+                "efficiencies": [],
+                "failed": True,
+            }
+            continue
         pairs_out[f"{lo}_to_{hi}"] = {
             "cpus": [cpus_lo, cpus_hi],
             "iters": [iters_n, 4 * iters_n],
@@ -159,7 +172,7 @@ def main() -> dict:
         "repeats": repeats,
         "pairs": pairs_out,
         "passes_north_rule": any(
-            p["median_efficiency"] >= 0.8 for p in pairs_out.values()
+            p.get("median_efficiency", 0.0) >= 0.8 for p in pairs_out.values()
         ),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -169,7 +182,7 @@ def main() -> dict:
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({
-        k: {kk: v[kk] for kk in
+        k: {kk: v.get(kk) for kk in
             ("median_efficiency", "best_efficiency", "efficiencies")}
         for k, v in pairs_out.items()
     } | {"passes_north_rule": result["passes_north_rule"]}))

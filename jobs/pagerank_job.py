@@ -56,7 +56,11 @@ def main(argv: list[str] | None = None) -> dict:
     )
     p.add_argument("--num-shards", type=int, default=None)
     p.add_argument(
-        "--strategy", choices=["barrier", "sharded", "dataframe"], default="barrier"
+        "--strategy",
+        choices=["auto", "barrier", "sharded", "dataframe"],
+        default="barrier",
+        help="physical engine; auto picks by regime (n over the dense "
+        "budget -> dataframe, small m -> fused sharded batch, else barrier)",
     )
     p.add_argument(
         "--shard-dir",
@@ -73,6 +77,10 @@ def main(argv: list[str] | None = None) -> dict:
         help="barrier mesh transport (default auto: shm when the gang "
              "shares one host, else TCP full mesh)")
     args = p.parse_args(argv)
+    # fail fast on incompatible flags — BEFORE any (potentially long) graph
+    # build is paid for
+    if args.family != "a" and args.strategy != "dataframe":
+        p.error("--family b is only implemented for --strategy dataframe")
 
     # Session: when launched by spark-submit the master/conf come from the
     # submit command line; getOrCreate() picks them up. Standalone python
@@ -89,7 +97,7 @@ def main(argv: list[str] | None = None) -> dict:
     prebuilt = args.shard_dir and os.path.exists(os.path.join(args.shard_dir, "meta.json"))
     t_ingest0 = time.monotonic()
     edges = None
-    if not (prebuilt and args.strategy in ("barrier", "sharded")):
+    if not (prebuilt and args.strategy in ("auto", "barrier", "sharded")):
         if args.edges:
             edges = spark.read.parquet(args.edges).select("src", "dst")
         else:
@@ -111,7 +119,9 @@ def main(argv: list[str] | None = None) -> dict:
     # the reference also reports read/format vs per-iteration time apart
     # (/root/reference/main.c:32-33,55-61)
     build_sec = 0.0
-    if args.strategy in ("barrier", "sharded"):
+    g = None
+    if args.strategy in ("auto", "barrier", "sharded"):
+        from linkgraph.operators.pagerank import pagerank
         from linkgraph.plans.barrier import pagerank_barrier
         from linkgraph.plans.shards import ShardedGraph
 
@@ -122,9 +132,11 @@ def main(argv: list[str] | None = None) -> dict:
             g = ShardedGraph.build(edges, num_shards=args.num_shards, shard_dir=args.shard_dir)
         m = g.m
         build_sec = time.monotonic() - t0
-        if args.family != "a":
-            p.error("--family b is only implemented for --strategy dataframe")
-        fn = pagerank_barrier if args.strategy == "barrier" else pagerank_sharded
+        fn = {
+            "auto": pagerank,
+            "barrier": pagerank_barrier,
+            "sharded": pagerank_sharded,
+        }[args.strategy]
         kw = {"mesh_transport": args.mesh} if (
             args.strategy == "barrier" and args.mesh
         ) else {}
@@ -141,7 +153,6 @@ def main(argv: list[str] | None = None) -> dict:
             **kw,
         )
         wall = time.monotonic() - t0
-        g.unpersist()
     else:
         t0 = time.monotonic()
         res = pagerank_dataframe(
@@ -185,7 +196,8 @@ def main(argv: list[str] | None = None) -> dict:
         "median_iter_sec": round(med_iter_sec, 4),
         "parallelism": spark.sparkContext.defaultParallelism,
         "master": spark.sparkContext.master,
-        "strategy": args.strategy,
+        # resolved engine (auto dispatch records its pick), not the flag
+        "strategy": getattr(res, "strategy", "") or args.strategy,
     }
     if os.environ.get("LG_DEBUG_ITERS"):
         import statistics as _st
@@ -205,6 +217,10 @@ def main(argv: list[str] | None = None) -> dict:
             for r in top_k(res.ranks, args.top_k).collect()
         ]
     print(json.dumps(out))
+    # unpersist LAST: res.ranks is a lazy distributed plan over files in the
+    # shard layout — an owned temp dir must outlive every read of the result
+    if g is not None:
+        g.unpersist()
     spark.stop()
     return out
 

@@ -27,6 +27,35 @@ def _normalize(text_col):
     return F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
 
 
+def _doc_toks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """[id, toks] — one materialized token array per document. The
+    one-row-per-id aggregate is a projection-collapse BARRIER (see
+    ``shingles``), not a combiner: a duplicated id would silently keep one
+    arbitrary row's tokens, so the documented id-uniqueness contract is
+    enforced loudly (raise_error evaluates lazily per group — zero cost on
+    the honest path, no extra action or shuffle)."""
+    toks = F.split(_normalize(F.col(text_col)), " ")
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .groupBy("id")
+        .agg(F.first("toks").alias("toks"), F.count(F.lit(1)).alias("_rows"))
+        .select(
+            "id",
+            F.when(
+                F.col("_rows") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"dedup: duplicate {id_col}: "),
+                        F.col("id").cast("string"),
+                    )
+                ).cast("array<string>"),
+            )
+            .otherwise(F.col("toks"))
+            .alias("toks"),
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per distinct text: [text_hash, keep_id=min id, dup_count]."""
     return (
@@ -50,16 +79,12 @@ def shingles(
     doc, the slices copy words out of the materialized array. This replaces
     a round-1 posexplode + 5×lead window (the WindowExec's per-row frame
     evaluation measured ~5× slower than the array slices on the same data;
-    both produce the identical distinct (id, shingle) set). Assumes
-    ``id_col`` is unique per document (true for the documents table — the
-    aggregate is a barrier, not a combiner). Docs shorter than
-    ``shingle_len`` yield their full text as the single (short) shingle."""
-    toks = F.split(_normalize(F.col(text_col)), " ")
-    base = (
-        docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
-        .groupBy("id")
-        .agg(F.first("toks").alias("toks"))
-    )
+    both produce the identical distinct (id, shingle) set). ``id_col`` must
+    be unique per document (true for the documents table); a violation
+    raises from the plan (_doc_toks) instead of silently keeping one row.
+    Docs shorter than ``shingle_len`` yield their full text as the single
+    (short) shingle."""
+    base = _doc_toks(docs, id_col, text_col)
     win_starts = F.sequence(F.lit(0), F.size("toks") - F.lit(shingle_len))
     exploded = base.select(
         "id",
@@ -89,12 +114,7 @@ def hashed_shingles(
     the ~tens-of-bytes string — the string never leaves the map side. The
     per-doc shingle SET survives exactly (64-bit collisions negligible),
     which is all MinHash consumes."""
-    toks = F.split(_normalize(F.col(text_col)), " ")
-    base = (
-        docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
-        .groupBy("id")
-        .agg(F.first("toks").alias("toks"))
-    )
+    base = _doc_toks(docs, id_col, text_col)
     win_starts = F.sequence(F.lit(0), F.size("toks") - F.lit(shingle_len))
     return (
         base.select(

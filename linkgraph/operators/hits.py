@@ -11,8 +11,10 @@ authority vector):
 
 Multi-edges contribute multiplicity (same keep-multi-edge semantics as the
 PageRank path, SURVEY §1.4). Plan shape per iteration: two equi-join +
-partial/final hash-aggregate rounds, one action for (norms, delta);
-lineage broken per iteration via localCheckpoint exactly like
+partial/final hash-aggregate rounds and exactly TWO actions — a_tot (forced
+by the a->h data dependency), then one combined aggregate for (h_tot, L2
+delta); hub normalization is a lazy literal division on the checkpointed
+plan. Lineage broken per iteration via localCheckpoint exactly like
 pagerank_dataframe (operators/pagerank.py X5).
 """
 
@@ -73,24 +75,33 @@ def hits(
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a_new").alias("h_raw"))
         )
-        h_tot = float(h_raw.agg(F.sum("h_raw")).first()[0] or 0.0)
+        # TWO actions per iteration, not three: a_tot above is forced by the
+        # a->h data dependency, but the L2 delta is on the (already
+        # a_tot-normalized) authority column, so h_tot piggybacks into the
+        # same aggregate (the pagerank_dataframe one-action pattern,
+        # operators/pagerank.py:135-141) and the hub normalization is applied
+        # lazily as a literal on the checkpointed plan.
         new_state = (
             state.join(a, "node", "left")
             .join(h_raw, "node", "left")
             .select(
                 "node",
-                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.lit(h_tot)).alias("hub"),
+                F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("h_raw"),
                 F.coalesce(F.col("a_new"), F.lit(0.0)).alias("authority"),
                 F.col("authority").alias("a_old"),
             )
             .localCheckpoint(eager=False)
         )
         agg = new_state.agg(
-            F.sum(F.pow(F.col("authority") - F.col("a_old"), 2)).alias("sq")
+            F.sum(F.pow(F.col("authority") - F.col("a_old"), 2)).alias("sq"),
+            F.sum("h_raw").alias("h_tot"),
         ).first()
         norm = float(agg["sq"]) ** 0.5
+        h_tot = float(agg["h_tot"] or 0.0)
         old = state
-        state = new_state.select("node", "hub", "authority").persist()
+        state = new_state.select(
+            "node", (F.col("h_raw") / F.lit(h_tot)).alias("hub"), "authority"
+        ).persist()
         old.unpersist()
         metrics.append(
             {"iteration": it, "norm": norm,

@@ -42,6 +42,7 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
         return out
 
     cur = sym
+    cur_m = None  # carried edge count: one count action per round, not two
     for _ in range(max_rounds):
         deg = cur.groupBy("src").count()
         survivors = deg.where(F.col("count") >= k).select(F.col("src").alias("node"))
@@ -53,11 +54,14 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        # fixpoint when no edge was peeled this round (cheap count on the
-        # checkpointed plans, no extra shuffle)
-        if nxt.count() == cur.count():
+        # fixpoint when no edge was peeled this round; the previous round's
+        # count is carried (first round pays one extra count on sym)
+        if cur_m is None:
+            cur_m = cur.count()
+        nxt_m = nxt.count()
+        if nxt_m == cur_m:
             cur = nxt
             break
-        cur = nxt
+        cur, cur_m = nxt, nxt_m
     sym.unpersist()
     return cur.select(F.col("src").alias("node")).distinct()

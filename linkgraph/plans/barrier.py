@@ -446,8 +446,6 @@ def pagerank_barrier(
     with the entire iteration loop inside one barrier stage. Returns a
     PageRankResult whose ranks DataFrame is rebuilt from the collected
     vector."""
-    import pandas as pd
-
     from linkgraph.operators.pagerank import PageRankResult
 
     g = sharded_graph or ShardedGraph.build(edges, num_shards=num_shards)
@@ -479,6 +477,10 @@ def pagerank_barrier(
     # path): lives next to the shards (same shared-storage assumption);
     # O_CREAT|O_EXCL claim files are atomic on POSIX and NFSv4
     claims_root = os.path.join(g.shard_dir, "claims", uuid.uuid4().hex)
+    # task 0 publishes the final vector here — a UNIQUE file, not the
+    # mutable rank.npy iteration scratch, so earlier results' lazy plans
+    # are never silently retargeted by a later solve on the same graph
+    rank_out = os.path.join(g.shard_dir, f"rank_out_{uuid.uuid4().hex}.npy")
     transport = mesh_transport or os.environ.get("LINKGRAPH_MESH", "auto")
     do_steal = (
         work_steal
@@ -940,7 +942,14 @@ def pagerank_barrier(
                     break
 
             if pid == 0:
-                yield {"kind": "result", "rank": rank, "iterations": it,
+                # publish the final vector to shard storage (atomic rename)
+                # instead of yielding the n-array through collect(): the
+                # driver materializes the result table DISTRIBUTED via
+                # ShardedGraph.ranks_df — no O(n) driver serialization.
+                tmp = rank_out + f".tmp{os.getpid()}.npy"
+                np.save(tmp, rank)
+                os.replace(tmp, rank_out)
+                yield {"kind": "result", "iterations": it,
                        "norm": norm, "converged": converged, "iter_log": iter_log}
             yield {"kind": "task", "pid": pid, "metrics": my_metrics}
         finally:
@@ -953,10 +962,10 @@ def pagerank_barrier(
     out = sc.parallelize(tasks, P).barrier().mapPartitions(run).collect()
     bc.destroy()
     res = next(o for o in out if o["kind"] == "result")
-    ranks_df = spark.createDataFrame(
-        pd.DataFrame({"node": node_ids, "rank": res["rank"]})
-    )
+    ranks_df = g.ranks_df(vector_path=rank_out)  # published by task 0
     if sharded_graph is None:
+        # pin the distributed result before the owned temp dir is removed
+        ranks_df = ranks_df.localCheckpoint(eager=True)
         g.unpersist()
     return PageRankResult(
         ranks=ranks_df,
@@ -964,4 +973,5 @@ def pagerank_barrier(
         norm=res["norm"],
         converged=res["converged"],
         iter_metrics=res["iter_log"],
+        strategy="barrier",
     )

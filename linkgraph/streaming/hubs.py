@@ -23,6 +23,16 @@ Exactly-once: the streaming aggregation state is checkpointed; a replayed
 microbatch re-upserts the same totals (idempotent — totals are absolute,
 not increments), so the table converges to the batch answer after any
 retry. Parity with the batch ``in_degrees`` is pinned in tests.
+
+Commit-window caveat (plain parquet has no atomic multi-partition commit):
+the kept-keys union is materialized BEFORE the overwrite starts, so the
+read never races the replace, but a crash inside the overwrite's own
+commit window can still leave affected buckets partially replaced — and a
+replayed microbatch re-upserts only the changed keys, not the unchanged
+keys of those buckets. That residual window is the file-format's, not the
+pattern's: pointing ``table_dir`` at an Iceberg/Delta table turns the same
+upsert into a single atomic MERGE INTO (see linkgraph.checkpoint for the
+jar-gated Iceberg wiring).
 """
 
 from __future__ import annotations
@@ -54,11 +64,11 @@ def stream_in_degree_totals(
             "bucket", F.pmod(F.xxhash64("dst"), F.lit(n_buckets)).cast("int")
         )
         updated.persist()
+        out = None
         try:
             affected = [r["bucket"] for r in updated.select("bucket").distinct().collect()]
             if not affected:
                 return
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             out = updated
             # existence probe through the Hadoop FS API (not os.*): table_dir
             # may live on HDFS/S3 — a local-only check would silently drop
@@ -67,20 +77,31 @@ def stream_in_degree_totals(
             hpath = jvm.org.apache.hadoop.fs.Path(table_dir)
             fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
             if fs.exists(hpath) and fs.listStatus(hpath):
-                # keep the unchanged keys living in the buckets we rewrite
+                # keep the unchanged keys living in the buckets we rewrite;
+                # MATERIALIZE the union before the overwrite so the read of
+                # the current table finishes before any of it is replaced
+                # (self-referential read-then-overwrite)
                 existing = spark.read.schema(DEGREE_SCHEMA).parquet(table_dir)
                 keep = existing.filter(F.col("bucket").isin(affected)).join(
                     updated.select("dst"), "dst", "left_anti"
                 )
-                out = updated.unionByName(keep)
+                out = updated.unionByName(keep).persist()
+                out.count()
             (
                 out.repartition(max(1, len(affected)), "bucket")
                 .write.mode("overwrite")
+                # per-WRITE dynamic overwrite (not a session-conf mutation:
+                # setting spark.sql.sources.partitionOverwriteMode on the
+                # shared session would silently switch every later
+                # partitioned overwrite in the app to dynamic semantics)
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")
                 .parquet(table_dir)
             )
         finally:
             updated.unpersist()
+            if out is not None and out is not updated:
+                out.unpersist()
 
     writer = (
         totals.writeStream.outputMode("update")

@@ -209,3 +209,55 @@ def test_batch_and_periter_regimes_identical(spark):
     assert any(m.get("batched") for m in rb.iter_metrics)
     assert not any(m.get("batched") for m in rp.iter_metrics)
     g.unpersist()
+
+
+def test_auto_dispatch_regimes(spark, tmp_path):
+    """`pagerank(strategy="auto")` must (a) pick the sharded batch engine at
+    contract scale, (b) fall back to the UNBOUNDED dataframe plan when n
+    exceeds the dense-vector budget (round-2 VERDICT #1 — the O(n)-driver
+    engines must never bind by default at 10^8-10^9 vertices), (c) route
+    checkpointed large-m runs to the barrier engine, and stay oracle-equal
+    in every regime."""
+    from linkgraph.checkpoint import ParquetManifestStore
+    from linkgraph.operators.pagerank import pagerank
+
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst)
+
+    auto = pagerank(df, eps=1e-8)
+    assert auto.strategy == "sharded"
+
+    # graph "above the threshold": shrink the budget instead of building
+    # 10^9 vertices — the dispatch arithmetic is what's under test
+    big = pagerank(df, eps=1e-8, dense_budget_bytes=10)
+    assert big.strategy == "dataframe"
+    assert np.allclose(_vec(auto), _vec(big), atol=1e-6, rtol=0)
+
+    store = ParquetManifestStore(str(tmp_path / "ck"))
+    ck = pagerank(df, eps=1e-8, store=store, run_id="auto1")
+    assert ck.strategy == "barrier"
+    assert np.allclose(_vec(ck), _vec(auto), atol=1e-6, rtol=0)
+
+    forced = pagerank(df, eps=1e-8, strategy="barrier")
+    assert forced.strategy == "barrier"
+
+
+def test_ranks_df_distributed_and_isolated(spark):
+    """ShardedGraph.ranks_df materializes [node, rank] from executors (no
+    driver createDataFrame), and each result is published to a UNIQUE
+    vector file: a later solve on the same graph must not retarget an
+    earlier result's lazy plan."""
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst)
+    g = ShardedGraph.build(df, num_shards=3)
+
+    vec = np.arange(g.n, dtype=np.float64) / g.n
+    got = {r["node"]: r["rank"] for r in g.ranks_df(vec).collect()}
+    assert got == {int(nid): float(v) for nid, v in zip(g.node_ids, vec)}
+
+    a = pagerank_sharded(df, eps=1e-8, sharded_graph=g)
+    a_before = _vec(a)
+    # second solve on the SAME graph (different engine, different scratch)
+    pagerank_barrier(df, eps=1e-4, max_iter=3, sharded_graph=g, num_tasks=2)
+    assert np.array_equal(_vec(a), a_before), "earlier result plan retargeted"
+    g.unpersist()
