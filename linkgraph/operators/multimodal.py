@@ -2,13 +2,21 @@
 
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched kernels over ``mapInArrow``/``mapInPandas``. The decode step
-itself is STUBBED in this environment (no image/audio libraries in the
-container): ``decode_image(real=True)`` raises NotImplementedError, while
-the default deterministic fake decoder exercises the full Spark-side
-contract — schema, partitioning, UDF signature, Arrow batch shape — which
-is the part that matters for the engine. Swapping in Pillow/ffmpeg later
-changes only the numpy body of the kernel.
+Arrow-batched kernels over ``mapInArrow``/``mapInPandas``.
+
+Decode paths (``decode_and_featurize``):
+
+* ``real=False`` (default) — deterministic fake decoder: exercises the
+  full Spark-side contract (schema, partitioning, UDF signature, Arrow
+  batch shape) with no media libraries; the contract queries and oracle
+  use this path.
+* ``real=True`` — a REAL kernel with runtime import guards: Pillow when
+  importable, else a pure-numpy parser for uncompressed 8/24/32-bit BMP
+  (decodable with zero dependencies — unit-tested in-sandbox via the
+  ``encode_bmp`` helper), else ONE warning per task and the deterministic
+  fake as last resort. Environments with Pillow get the full-format
+  kernel with no code change; this container (no media libs, no network)
+  still exercises the real numpy decode body through BMP.
 """
 
 from __future__ import annotations
@@ -92,19 +100,101 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(raw, reps)[:need].reshape(height, width)
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP encoder (bottom-up, BGR, 4-byte row
+    padding). Input: uint8 HxW (gray, replicated to 3 channels) or HxWx3
+    (RGB). Exists so the real decode kernel is unit-testable in-sandbox:
+    BMP is the one mainstream raster format writable AND readable with
+    nothing but numpy."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data_size = row_bytes * h
+    header = (
+        b"BM"
+        + (14 + 40 + data_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (14 + 40).to_bytes(4, "little")  # pixel-data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")  # positive height = bottom-up rows
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + data_size.to_bytes(4, "little")
+        + b"\x00" * 16  # ppm + palette counts (unused)
+    )
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed 8/24/32-bit BMP -> HxW uint8
+    gray (integer ITU-R 601 luma, the same (299R+587G+114B)//1000 Pillow's
+    ``convert("L")`` computes, so the PIL and numpy paths of the real
+    kernel agree bit-for-bit on BMP inputs). Raises ValueError on
+    non-BMP/compressed/unsupported payloads — callers decide the
+    fallback."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    b = memoryview(payload)
+
+    def _u(off, size, signed=False):
+        return int.from_bytes(b[off : off + size], "little", signed=signed)
+
+    data_off = _u(10, 4)
+    dib = _u(14, 4)
+    if dib < 40:
+        raise ValueError(f"unsupported DIB header size {dib}")
+    w, h_raw = _u(18, 4, signed=True), _u(22, 4, signed=True)
+    bpp, compression = _u(28, 2), _u(30, 4)
+    if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h_raw == 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    h, bottom_up = abs(h_raw), h_raw > 0
+    row_bytes = (w * (bpp // 8) + 3) & ~3
+    end = data_off + row_bytes * h
+    if end > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(b[data_off:end], dtype=np.uint8).reshape(h, row_bytes)
+    if bottom_up:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: RGBX entries right after the DIB header
+        n_colors = _u(46, 4) or 256
+        pal = np.frombuffer(
+            b[14 + dib : 14 + dib + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        rgb = pal[rows[:, :w].astype(np.intp)]
+    else:
+        step = bpp // 8
+        px = rows[:, : w * step].reshape(h, w, step)
+        rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
+    r, g, bl = (rgb[:, :, i].astype(np.int64) for i in range(3))
+    return ((r * 299 + g * 587 + bl * 114) // 1000).astype(np.uint8)
+
+
 def decode_and_featurize(media: DataFrame, real: bool = False) -> DataFrame:
     """[media_id, kind, mean_px, std_px, n_bytes] via an Arrow kernel.
 
-    real=True is the hook for an actual decoder (Pillow/libvips) — not
-    available in this container, so it raises; the deterministic fake path
-    keeps the whole pipeline testable."""
-    if real:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; the Spark-side contract is identical"
-        )
+    ``real=True`` decodes actual image bytes: Pillow when importable (any
+    format PIL reads, converted to 8-bit luma), else the pure-numpy BMP
+    parser (``decode_bmp``), else the deterministic fake with ONE
+    warning per task — the job never fails on a format gap, and the
+    fallback is visible in logs. ``real=False`` is the dependency-free
+    deterministic fake used by the contract queries/oracle."""
 
     def kernel(batches):
+        if real:
+            try:
+                from PIL import Image  # noqa: F401 — optional, runtime-probed
+
+                pil = Image
+            except ImportError:
+                pil = None
+            warned = False
         for b in batches:
             mid = b.column("media_id").to_numpy(zero_copy_only=False)
             kind = b.column("kind").to_pylist()
@@ -112,7 +202,32 @@ def decode_and_featurize(media: DataFrame, real: bool = False) -> DataFrame:
             meta = b.column("meta").to_pylist()
             means, stds, sizes = [], [], []
             for p, m in zip(payload, meta):
-                img = _fake_decode(p, m["width"], m["height"])
+                if real:
+                    img = None
+                    if pil is not None:
+                        import io
+
+                        try:
+                            img = np.asarray(pil.open(io.BytesIO(p)).convert("L"))
+                        except Exception:
+                            img = None
+                    if img is None:
+                        try:
+                            img = decode_bmp(p)
+                        except ValueError:
+                            if not warned:
+                                import warnings
+
+                                warnings.warn(
+                                    "decode_and_featurize(real=True): payload "
+                                    "not decodable (no Pillow, not BMP); "
+                                    "falling back to the deterministic fake",
+                                    stacklevel=2,
+                                )
+                                warned = True
+                            img = _fake_decode(p, m["width"], m["height"])
+                else:
+                    img = _fake_decode(p, m["width"], m["height"])
                 means.append(float(img.mean()))
                 stds.append(float(img.std()))
                 sizes.append(len(p))

@@ -212,10 +212,43 @@ def test_media_schema_and_featurize(spark):
     assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
 
 
-def test_real_decode_is_gated(spark):
-    m = multimodal.synthetic_media(spark, 4)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_and_featurize(m, real=True)
+def test_bmp_roundtrip_kernel():
+    """encode_bmp -> decode_bmp is exact through the integer-luma formula,
+    including non-multiple-of-4 widths (row padding) and RGB inputs."""
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)  # w=7: padded rows
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(gray)), gray)
+    rgb = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    r, g, b = (rgb[:, :, i].astype(np.int64) for i in range(3))
+    luma = ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(rgb)), luma)
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"not a bitmap at all, far too short?")
+
+
+def test_real_decode_bmp_and_fallback(spark):
+    """real=True decodes actual BMP payloads (import-guarded kernel: PIL if
+    importable, else the pure-numpy parser) and falls back to the
+    deterministic fake — never a task failure — on undecodable payloads."""
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, size=(8, 5), dtype=np.uint8) for i in range(3)}
+    rows = [
+        (i, "image", bytearray(multimodal.encode_bmp(img)),
+         {"width": 5, "height": 8, "sample_rate": 0, "n_frames": 1, "format": "bmp"})
+        for i, img in imgs.items()
+    ]
+    m = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.decode_and_featurize(m, real=True).collect()}
+    for i, img in imgs.items():
+        assert got[i]["mean_px"] == pytest.approx(float(img.mean()), abs=1e-12)
+        assert got[i]["std_px"] == pytest.approx(float(img.std()), abs=1e-12)
+        assert got[i]["n_bytes"] == len(multimodal.encode_bmp(img))
+
+    # undecodable payloads: real=True degrades to the fake path per-row
+    fake = multimodal.synthetic_media(spark, 4)
+    want = sorted(map(tuple, multimodal.decode_and_featurize(fake).collect()))
+    have = sorted(map(tuple, multimodal.decode_and_featurize(fake, real=True).collect()))
+    assert have == want
 
 
 def test_frame_sample_and_resize(spark):
