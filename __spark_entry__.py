@@ -211,6 +211,59 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_stream_rank(spark, sf_dir):
+    """Streaming rank maintenance end-to-end (streaming/rank.py, round-2
+    VERDICT #4): the contract edge table is dropped into a file-source
+    stream in TWO chunks drained through ONE checkpoint; each microbatch
+    appends its epoch to the maintained edge table and recomputes the
+    fixed point warm-started from the previous snapshot. Returns the
+    final maintained [node_name, rank] — identical to q_pagerank's answer
+    by construction (warm starts change the path, never the fixed point;
+    parity is also pinned in tests/test_streaming.py). Rows-only in the
+    gate: the converged fixpoint has no ANSI-SQL form."""
+    import shutil
+    import tempfile
+
+    from linkgraph.streaming.rank import read_rank_table, stream_pagerank_maintenance
+
+    edges = _bipartite_edges(spark, sf_dir).unionByName(
+        _transition_edges(spark, sf_dir)
+    )
+    ids = edges.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    ).persist()
+    root = tempfile.mkdtemp(prefix="lg_stream_rank_")
+    try:
+        src_dir, work, ckpt = (
+            f"{root}/src", f"{root}/work", f"{root}/ckpt"
+        )
+        for chunk in (0, 1):
+            ids.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(2)) == chunk).write.mode(
+                "append"
+            ).parquet(src_dir)
+            stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
+            q = stream_pagerank_maintenance(
+                stream, work, ckpt, eps=1e-6, available_now=True
+            )
+            q.awaitTermination(300)
+        names = (
+            edges.select(F.col("src").alias("node_name"))
+            .union(edges.select("dst"))
+            .distinct()
+            .withColumn("node", F.xxhash64("node_name"))
+        )
+        out = (
+            read_rank_table(spark, work)
+            .join(names, "node")
+            .select("node_name", F.round("rank", 8).alias("rank"))
+        )
+        out = out.localCheckpoint(eager=True)  # pin before the temp dir dies
+    finally:
+        ids.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_lpa_k3(spark, sf_dir):
     """Three fixed synchronous LPA rounds through the real label_propagation
     loop, on STRING node ids so the smaller-label tie-break is byte-order —
@@ -896,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": q_components,
         "components_twophase": q_components_twophase,
         "pagerank": q_pagerank,
+        "stream_rank": q_stream_rank,
         "pagerank_k5": q_pagerank_k5,
         "pagerank_b_k5": q_pagerank_b_k5,
         "lpa": q_lpa,

@@ -76,10 +76,20 @@ def pagerank_dataframe(
     store=None,
     run_id: str | None = None,
     family: str = "a",
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Pure-DataFrame PageRank. ``store`` (optional
     linkgraph.checkpoint.CheckpointStore) snapshots ranks+metrics per
     iteration and enables mid-convergence resume.
+
+    ``init_ranks`` (optional [node, rank] DataFrame) warm-starts the power
+    iteration from a prior vector — e.g. the previous snapshot when the
+    edge table grew by a microbatch (streaming/rank.py). Vertices absent
+    from it start at 1/n and the combined vector is sum-normalized to
+    restore the unit-mass invariant the Family-A base term assumes; any
+    non-negative unit-mass start converges to the same fixed point (the
+    chain is ergodic), warm starts just take fewer iterations. A
+    store-resume snapshot takes precedence.
 
     ``family`` selects the reference's semantic family (SURVEY §2.8):
     "a" (default) = the "custom" family with per-iteration dangling-mass
@@ -117,6 +127,22 @@ def pagerank_dataframe(
             ranks.agg(F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("l")).first()["l"]
             or 0.0
         )
+    elif init_ranks is not None:
+        raw = state0.join(init_ranks.select("node", "rank"), "node", "left").select(
+            "node",
+            "is_dangling",
+            F.coalesce(F.col("rank"), F.lit(1.0 / n)).alias("rank"),
+        )
+        raw = raw.localCheckpoint(eager=False)
+        agg0 = raw.agg(
+            F.sum("rank").alias("mass"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("l"),
+        ).first()
+        total = float(agg0["mass"])
+        if total <= 0:
+            raise ValueError("pagerank: init_ranks has non-positive total mass")
+        ranks = raw.withColumn("rank", F.col("rank") / F.lit(total)).persist()
+        leaked = float(agg0["l"]) / total
     else:
         ranks = state0.withColumn("rank", F.lit(1.0 / n)).persist()
         leaked = float(state0.filter("is_dangling").count()) / n

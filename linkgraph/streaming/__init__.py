@@ -8,3 +8,8 @@ from linkgraph.streaming.hubs import (  # noqa: F401
     stream_in_degree_totals,
     top_hubs_snapshot,
 )
+from linkgraph.streaming.rank import (  # noqa: F401
+    rank_maintenance_log,
+    read_rank_table,
+    stream_pagerank_maintenance,
+)

@@ -155,3 +155,59 @@ def test_stream_in_degree_totals_incremental(spark, tmp_path):
     ]
     want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert snap == want_top
+
+
+def test_stream_pagerank_maintenance(spark, tmp_path):
+    """Streaming rank maintenance (round-2 VERDICT #4): drain two edge
+    drops through one checkpoint; after each drain the maintained rank
+    table must equal a cold batch PageRank on everything seen (allclose
+    1e-6 — warm start changes the path, never the fixed point), and the
+    second drain must record a warm start that converged in no more
+    iterations than the cold recompute."""
+    from linkgraph.operators.pagerank import pagerank_dataframe
+    from linkgraph.streaming import (
+        rank_maintenance_log,
+        read_rank_table,
+        stream_pagerank_maintenance,
+    )
+
+    src = str(tmp_path / "transcripts")
+    work = str(tmp_path / "rank_work")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain():
+        edges = stream_reply_edges(read_transcript_stream(spark, src)).select("src", "dst")
+        q = stream_pagerank_maintenance(
+            edges, work, ckpt, eps=1e-9, available_now=True
+        )
+        q.awaitTermination(180)
+
+    def batch_ranks():
+        e = derive_edges(spark.read.parquet(src)).select("src", "dst")
+        return pagerank_dataframe(e, eps=1e-9)
+
+    t1 = generate_transcripts(spark, n_convs=60, seed=3)
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got1 = {r["node"]: r["rank"] for r in read_rank_table(spark, work).collect()}
+    want1 = {r["node"]: r["rank"] for r in batch_ranks().ranks.collect()}
+    assert set(got1) == set(want1)
+    assert all(abs(got1[k] - want1[k]) < 1e-6 for k in want1)
+    log1 = rank_maintenance_log(spark, work)
+    assert log1["converged"] and not log1["warm_start"]
+
+    t2 = generate_transcripts(spark, n_convs=40, seed=9).withColumn(
+        "conv_id", F.concat(F.lit("r2-"), F.col("conv_id"))
+    )
+    t2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got2 = {r["node"]: r["rank"] for r in read_rank_table(spark, work).collect()}
+    cold = batch_ranks()
+    want2 = {r["node"]: r["rank"] for r in cold.ranks.collect()}
+    assert set(got2) == set(want2)
+    assert all(abs(got2[k] - want2[k]) < 1e-6 for k in want2)
+    log2 = rank_maintenance_log(spark, work)
+    assert log2["converged"] and log2["warm_start"]
+    # the warm start is the point: never MORE iterations than cold
+    assert log2["iterations"] <= cold.iterations
