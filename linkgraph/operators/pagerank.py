@@ -327,13 +327,32 @@ def pagerank_sharded(
     run_id: str | None = None,
     sharded_graph=None,
     batch: bool | None = None,
+    fused: bool | None = None,
 ) -> PageRankResult:
     """Fast path: Family-A PageRank over persisted CSR shards with a numpy
     gather-scatter kernel (plans/shards.py). Semantics identical to
-    ``pagerank_dataframe`` (asserted allclose 1e-6 in tests); per iteration:
-    one Spark action (SpMV partials + per-partition metrics), the rest is
-    driver numpy — the reference MPI loop (pagerank_custom_mpi.h:40-79)
-    re-expressed with broadcast/collect instead of Allgatherv/Reduce."""
+    ``pagerank_dataframe`` (asserted allclose 1e-6 in tests). Three physical
+    regimes, the reference MPI loop (pagerank_custom_mpi.h:40-79)
+    re-expressed at three fusion levels:
+
+    * small m, no checkpoint → single-task ``spmv_batch``: k iterations
+      fused into ONE Spark job (exact in-kernel L2 stop).
+    * otherwise (default, ``fused=True``) → the whole loop runs as ONE
+      barrier gang job via ``plans/barrier.pagerank_barrier``: k = ALL
+      remaining steps between driver norm reads, executor-to-executor
+      partial exchange, checkpoints written in-job every
+      ``checkpoint_interval`` — the distributed extension of the batch
+      fusion (reference precedent: CHECK_CONVERGENCE=0 runs fixed blocks,
+      global_config.h:8-10). No per-iteration Spark job floor.
+    * ``fused=False`` → the legacy per-iteration driver loop (one Spark
+      action per iteration: SpMV partials collected, driver bincount
+      combine — broadcast/collect standing in for Allgatherv/Reduce).
+      Kept for regime-equality tests and as the elastic path (executors
+      may change between iterations; the barrier gang is fixed for the
+      job's lifetime).
+
+    All regimes share the part-ascending combine order, so vectors and
+    stop decisions are bit-identical across them (pinned in tests)."""
     import numpy as np
 
     from linkgraph.plans.shards import ShardedGraph
@@ -341,6 +360,38 @@ def pagerank_sharded(
     g = sharded_graph or ShardedGraph.build(edges, num_shards=num_shards)
     spark = g.spark
     n = g.n
+
+    # Regime pick ("shuffle partitioning tuned per iteration", north rule):
+    # below ~64M edges the whole CSR fits one worker's cache and the
+    # per-iteration Spark job floor (measured 0.2-0.6 s on this host)
+    # dwarfs the kernel, so k iterations are FUSED into one single-task job
+    # (bit-identical combine order, exact in-kernel L2 stop — iteration
+    # counts match the oracle). Larger graphs and checkpointed runs fuse
+    # the whole loop into one barrier gang job instead (delegation below).
+    use_batch = (
+        batch
+        if batch is not None
+        else g.m <= 64_000_000 and (store is None or run_id is None)
+    )
+    if not use_batch and (fused if fused is not None else True):
+        from linkgraph.plans.barrier import pagerank_barrier
+
+        res = pagerank_barrier(
+            d=d, eps=eps, max_iter=max_iter,
+            check_convergence=check_convergence, store=store, run_id=run_id,
+            sharded_graph=g,
+        )
+        ranks_df = res.ranks
+        if sharded_graph is None:
+            # we own the temp shard dir (barrier saw a prebuilt graph and
+            # leaves ownership here): pin the result, then reclaim
+            ranks_df = ranks_df.localCheckpoint(eager=True)
+            g.unpersist()
+        return PageRankResult(
+            ranks=ranks_df, iterations=res.iterations, norm=res.norm,
+            converged=res.converged, iter_metrics=res.iter_metrics,
+            strategy="sharded",
+        )
 
     start_iter = 0
     rank = np.full(n, 1.0 / n, dtype=np.float64)
@@ -356,19 +407,6 @@ def pagerank_sharded(
     metrics: list[dict] = []
     it = start_iter
 
-    # Regime pick ("shuffle partitioning tuned per iteration", north rule):
-    # below ~64M edges the whole CSR fits one worker's cache and the
-    # per-iteration Spark job floor (measured 0.2-0.6 s on this host)
-    # dwarfs the kernel, so k iterations are FUSED into one single-task job
-    # (bit-identical combine order, exact in-kernel L2 stop — iteration
-    # counts match the oracle). Larger graphs and checkpointed runs use the
-    # distributed per-iteration path below; the barrier engine covers the
-    # iteration-bound extreme.
-    use_batch = (
-        batch
-        if batch is not None
-        else g.m <= 64_000_000 and (store is None or run_id is None)
-    )
     if use_batch:
         while it < max_iter and not converged:
             k = min(16, max_iter - it)

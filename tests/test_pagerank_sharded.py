@@ -137,8 +137,12 @@ def test_resume_sharded(spark, tmp_path):
     df = fx.edges_df(spark, src, dst)
     store = ParquetManifestStore(str(tmp_path / "ckpt"))
     full = pagerank_barrier(df, eps=1e-9)
-    pagerank_sharded(df, eps=1e-9, max_iter=6, store=store, run_id="r", num_shards=2)
-    resumed = pagerank_sharded(df, eps=1e-9, max_iter=300, store=store, run_id="r", num_shards=2)
+    pagerank_sharded(
+        df, eps=1e-9, max_iter=6, store=store, run_id="r", num_shards=2, fused=False
+    )
+    resumed = pagerank_sharded(
+        df, eps=1e-9, max_iter=300, store=store, run_id="r", num_shards=2, fused=False
+    )
     assert np.allclose(_vec(full), _vec(resumed), atol=1e-9, rtol=0)
     assert resumed.iterations == full.iterations
 
@@ -200,7 +204,9 @@ def test_batch_and_periter_regimes_identical(spark):
 
     g = ShardedGraph.build(df, num_shards=3)
     rb = pagerank_sharded(df, eps=1e-9, max_iter=300, sharded_graph=g, batch=True)
-    rp = pagerank_sharded(df, eps=1e-9, max_iter=300, sharded_graph=g, batch=False)
+    rp = pagerank_sharded(
+        df, eps=1e-9, max_iter=300, sharded_graph=g, batch=False, fused=False
+    )
     vb = {r["node"]: r["rank"] for r in rb.ranks.collect()}
     vp = {r["node"]: r["rank"] for r in rp.ranks.collect()}
     assert rb.iterations == rp.iterations
@@ -208,6 +214,52 @@ def test_batch_and_periter_regimes_identical(spark):
     assert all(vb[k] == vp[k] for k in vb), "regimes must produce identical floats"
     assert any(m.get("batched") for m in rb.iter_metrics)
     assert not any(m.get("batched") for m in rp.iter_metrics)
+    g.unpersist()
+
+
+def test_fused_regime_matches_batch_and_checkpoints(spark, tmp_path):
+    """VERDICT r2 #3 — distributed k-step fusion: outside the single-task
+    batch regime (large m, or any checkpointed run), ``pagerank_sharded``
+    runs the WHOLE loop as one barrier gang job (k = all steps between
+    driver norm reads, exchange executor-to-executor, checkpoints written
+    in-job) instead of one Spark job per iteration. Same part-ascending
+    combine order => identical floats and iteration counts; resume from the
+    in-job checkpoints reaches the same fixed point."""
+    from linkgraph.checkpoint import ParquetManifestStore
+
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst)
+    g = ShardedGraph.build(df, num_shards=3)
+    rb = pagerank_sharded(df, eps=1e-9, max_iter=300, sharded_graph=g, batch=True)
+    rf = pagerank_sharded(df, eps=1e-9, max_iter=300, sharded_graph=g, batch=False)
+    assert rf.strategy == "sharded"
+    assert rf.iterations == rb.iterations
+    vb = {r["node"]: r["rank"] for r in rb.ranks.collect()}
+    vf = {r["node"]: r["rank"] for r in rf.ranks.collect()}
+    assert vb.keys() == vf.keys()
+    assert all(vb[k] == vf[k] for k in vb), "fused gang must reproduce batch floats"
+    # route_ms in the lineage proves the barrier exchange ran (fusion, not
+    # the legacy driver loop)
+    assert any("route_ms" in m for m in rf.iter_metrics)
+
+    # a store forces the non-batch regime; the fused job checkpoints every
+    # iteration and a later call resumes from the manifest
+    store = ParquetManifestStore(str(tmp_path / "ckpt"))
+    half = pagerank_sharded(
+        df, eps=1e-9, max_iter=6, store=store, run_id="f", sharded_graph=g
+    )
+    assert half.iterations == 6
+    assert store.latest_iteration("f") == 6
+    resumed = pagerank_sharded(
+        df, eps=1e-9, max_iter=300, store=store, run_id="f", sharded_graph=g
+    )
+    assert resumed.iterations == rb.iterations
+    vr = {r["node"]: r["rank"] for r in resumed.ranks.collect()}
+    assert np.allclose(
+        np.array([vb[k] for k in sorted(vb)]),
+        np.array([vr[k] for k in sorted(vr)]),
+        atol=1e-9, rtol=0,
+    )
     g.unpersist()
 
 
