@@ -848,6 +848,58 @@ def q_dataset_split(spark, sf_dir):
     return d.select("doc_id", split.alias("split"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (language rebalancing — the
+    standard move when one language dominates a crawl): keep 25% of 'en',
+    50% of 'fr', everything else. Keep decision = md5-prefix compare of
+    the SALTED stable key (operators/sampling.py), so the sample is
+    reproducible under repartition/retry and independent of the
+    dataset_split digest on the same key. One scan, zero shuffles."""
+    from linkgraph.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    return stratified_sample(
+        d, {"en": 0.25, "fr": 0.5}, strata_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals per doc (duplicate word
+    fraction, duplicate 3-gram fraction) — textstats.repetition."""
+    from linkgraph.operators.textstats import repetition
+
+    return repetition(_docs(spark, sf_dir)).select(
+        "doc_id", "dup_word_frac", "dup_trigram_frac"
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: (test_doc, train_doc) pairs sharing any
+    8-token shingle, with the splits derived exactly as q_dataset_split.
+    The shingle set is deduped per doc BEFORE the join and the join key is
+    a 16-byte digest, so the shuffle moves hashes, not text; at corpus
+    scale the test side is orders of magnitude smaller than train and
+    broadcasts. Docs shorter than 8 tokens contribute their whole text as
+    one shingle (clamped slice — same clamping in the DuckDB oracle)."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    toks = F.split(norm, " ")
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(1)))
+    grams = F.transform(idxs, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8))))
+    g = d.select(
+        "doc_id", split.alias("split"), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    train = g.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    test = g.where(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "gram"
+    )
+    return test.join(train, "gram").select("test_doc", "train_doc").distinct()
+
+
 def q_tpch_rollup(spark, sf_dir):
     """ROLLUP aggregate (grouping-sets coverage): lineitem quantity and
     revenue per (returnflag, linestatus) with subtotals and a grand total;
@@ -986,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup": q_tpch_rollup,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
         "customers_few_orders": q_customers_few_orders,
         "emb_near_pairs": q_emb_near_pairs,
         "event_windows": q_event_windows,
@@ -1580,6 +1635,51 @@ def oracle_sql() -> dict[str, str]:
                     WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+    """
+    # cutoffs: 0.25*16^8 = '40000000', 0.5*16^8 = '80000000', 1.0 = 'g'
+    out["stratified_sample"] = """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8) <
+              CASE WHEN lang = 'en' THEN '40000000'
+                   WHEN lang = 'fr' THEN '80000000'
+                   ELSE 'g' END
+    """
+    out["repetition"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_DOC_NORM}, ' ') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CASE WHEN len(toks) < 1 THEN 0.0
+                    ELSE round(1.0 - list_unique(toks)::DOUBLE / len(toks), 8)
+               END AS dup_word_frac,
+               CASE WHEN len(toks) < 3 THEN 0.0
+                    ELSE round(1.0 - list_unique(list_transform(
+                               generate_series(1, len(toks) - 2),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         ))::DOUBLE / (len(toks) - 2), 8)
+               END AS dup_trigram_frac
+        FROM t
+    """
+    out["decontaminate"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd' THEN 'train'
+                      WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+                      ELSE 'test' END AS split,
+                 string_split({_DOC_NORM}, ' ') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, split,
+                 unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(toks) - 7, 1)),
+                     i -> md5(array_to_string(toks[i:i+7], ' '))
+                 ))) AS gram
+          FROM d
+        )
+        SELECT DISTINCT t.doc_id AS test_doc, r.doc_id AS train_doc
+        FROM g t JOIN g r ON t.gram = r.gram
+        WHERE t.split = 'test' AND r.split = 'train'
     """
     # corpus_filter composes the three textstats oracles verbatim — same
     # gate order as the Spark query (language, too-short, too-long, quality)

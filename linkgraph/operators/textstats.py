@@ -111,6 +111,37 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append Gopher-style repetition signals (Rae et al. 2021, app. A1.1 —
+    boilerplate/spam detectors used by every large corpus-cleaning
+    pipeline):
+
+    * ``dup_word_frac``    — 1 − distinct tokens / tokens
+    * ``dup_trigram_frac`` — 1 − distinct word-3-grams / 3-gram count
+
+    Pure array expressions (split / transform / array_distinct) on one
+    scan — no explode, no shuffle — and SQL-portable, so the driver
+    contract value-hashes it against DuckDB. Like the other textstats
+    operators these APPEND columns, so composed gates stay a single scan.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    dup_w = F.when(n < 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    dup_t = F.when(n < 3, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(tri)).cast("double") / (n - 2)
+    )
+    return docs.withColumn("dup_word_frac", F.round(dup_w, 8)).withColumn(
+        "dup_trigram_frac", F.round(dup_t, 8)
+    )
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -312,3 +312,99 @@ def test_hashed_shingles_equal_hashed_string_shingles(spark, docs):
         (r["id"], r["sh_hash"]) for r in dedup.hashed_shingles(sample).collect()
     }
     assert direct == via_strings
+
+
+# ---- sampling & repetition & decontamination (round 3) ----
+
+def test_repetition_hand_computed(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a a a"),            # 3 toks, 1 distinct; 1 trigram, distinct
+            (2, "a b a b a b"),      # 6 toks, 2 distinct; 4 trigrams, 2 distinct
+            (3, "x y"),              # too short for trigrams
+            (4, ""),                 # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_word_frac"], r["dup_trigram_frac"])
+        for r in textstats.repetition(d).collect()
+    }
+    assert got[1] == (round(1 - 1 / 3, 8), 0.0)
+    assert got[2] == (round(1 - 2 / 6, 8), round(1 - 2 / 4, 8))
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark, docs):
+    from linkgraph.operators.sampling import stratified_sample
+
+    rates = {"en": 0.25, "fr": 0.5}
+    a = set(
+        r["doc_id"]
+        for r in stratified_sample(docs, rates).select("doc_id").collect()
+    )
+    # invariant under repartition AND re-run (stable-key rule, not rand())
+    b = set(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(13), rates)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+    # per-stratum keep rates near nominal (binomial tolerance at this n)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, rates)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, rate in rates.items():
+        n = by_lang[lang]
+        tol = 4 * (rate * (1 - rate) / n) ** 0.5  # 4 sigma
+        assert abs(kept.get(lang, 0) / n - rate) < tol
+    # unlisted strata default to keep-all; rate 0 drops a stratum entirely
+    others = {l for l in by_lang if l not in rates}
+    assert all(kept.get(l, 0) == by_lang[l] for l in others)
+    none = stratified_sample(docs, {"en": 0.0}, default_rate=0.0).count()
+    assert none == 0
+
+
+def test_decontaminate_shared_shingle(spark, tmp_path):
+    import __spark_entry__ as E
+
+    # doc_ids chosen so md5 prefixes land in train (<'cd') and test (>='e6'):
+    # md5('1')=c4ca.. -> train, md5('2')=c81e.. -> train, md5('6')=1679.. ->
+    # train, md5('5')=e4da.. -> ... compute instead of guessing below.
+    import hashlib
+
+    def split_of(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return "train" if h < "cd" else ("val" if h < "e6" else "test")
+
+    train_id = next(i for i in range(100) if split_of(i) == "train")
+    test_id = next(i for i in range(100) if split_of(i) == "test")
+    clean_id = next(
+        i for i in range(100) if split_of(i) == "test" and i != test_id
+    )
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (train_id, f"prefix tokens here {shared} suffix tokens here", "en", "s", 1),
+        (test_id, f"other opening words {shared} other closing words", "en", "s", 1),
+        (clean_id, "totally disjoint vocabulary with no overlap at all zz", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    pairs = {
+        (r["test_doc"], r["train_doc"])
+        for r in E.q_decontaminate(spark, sf).collect()
+    }
+    assert pairs == {(test_id, train_id)}
