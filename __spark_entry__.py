@@ -164,6 +164,32 @@ def q_components(spark, sf_dir):
     return labeled.join(rep, "component").select("node_name", "component_name")
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components (Trim+Coloring, operators/scc.py) —
+    the Broder-bowtie primitive for directed link graphs — over the
+    per-user event-type transition graph (node = 'u<user>:<type>'): a user
+    revisiting an event type closes a cycle, so nontrivial SCCs occur and
+    scale with SF. Exact labels (component = min member name); oracle =
+    DuckDB transitive closure + mutual-reachability grouping."""
+    from linkgraph.operators.scc import strongly_connected_components
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def node(c):
+        return F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit(":"), c)
+
+    e = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(node(F.col("prev_type")).alias("src"), node(F.col("event_type")).alias("dst"))
+    )
+    res = strongly_connected_components(e)
+    return res.components.select(
+        F.col("node").alias("node_name"), F.col("component").alias("component_name")
+    )
+
+
 def q_components_twophase(spark, sf_dir):
     """Large-star/small-star components (Kiveris et al.) — O(log n) rounds;
     must equal the min-label result exactly (same recursive-CTE oracle)."""
@@ -1000,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hubs": q_top_hubs,
         "components": q_components,
         "components_twophase": q_components_twophase,
+        "scc": q_scc,
         "pagerank": q_pagerank,
         "stream_rank": q_stream_rank,
         "pagerank_k5": q_pagerank_k5,
@@ -1615,6 +1642,32 @@ def oracle_sql() -> dict[str, str]:
     }
     # the two-phase algorithm must produce byte-identical components
     out["components_twophase"] = out["components"]
+    out["scc"] = """
+        WITH RECURSIVE raw AS (
+          SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || lag(event_type)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                 'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS dst
+          FROM events
+          QUALIFY src IS NOT NULL
+        ),
+        e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        nodes AS (
+          SELECT src AS node FROM raw UNION SELECT dst FROM raw
+        ),
+        reach(s, t) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.t
+        ),
+        mutual AS (
+          SELECT a.s AS u, a.t AS v
+          FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+        )
+        SELECT n.node AS node_name,
+               least(n.node, coalesce(min(m.v), n.node)) AS component_name
+        FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+        GROUP BY n.node
+    """
     out["tpch_small_qty_revenue"] = """
         WITH thresh AS (
           SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
