@@ -70,7 +70,8 @@ def run() -> dict:
     for name in ["edge_derivation", "out_degrees", "pagerank_step", "top_hubs",
                  "exact_dedup", "token_count", "quality", "cosine_topk",
                  "minhash_near_dups", "components", "triangles",
-                 "pagerank_k5", "lpa_k3"]:
+                 "pagerank_k5", "lpa_k3", "scc", "repetition",
+                 "stratified_sample", "decontaminate"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()  # force full execution
         queries[name] = round(time.monotonic() - t0, 3)
