@@ -326,6 +326,36 @@ def q_pagerank_k5(spark, sf_dir):
     )
 
 
+def q_pagerank_w_k5(spark, sf_dir):
+    """Weighted PageRank, five fixed Family-A iterations over the
+    reply-count-weighted PER-USER transition graph (node =
+    'u<user>:<type>', weight = transition count): transition probability
+    w / Σ_out w instead of 1/out_deg (the natural rank for a conversation
+    graph — heavier reply edges carry more mass). Same unrolled-CTE oracle
+    scheme as pagerank_k5 with a weighted edge prelude."""
+    from linkgraph.operators.pagerank import pagerank_dataframe
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def node(c):
+        return F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit(":"), c)
+
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(node(F.col("prev_type")).alias("src"), node(F.col("event_type")).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    res = pagerank_dataframe(
+        edges, eps=0.0, max_iter=5, check_convergence=False, weight_col="weight"
+    )
+    return res.ranks.select(
+        F.col("node").alias("node_name"), F.round("rank", 8).alias("rank5")
+    )
+
+
 def q_pagerank_b_k5(spark, sf_dir):
     """Five fixed Family-B (mtx/OCL) iterations: plain (1-d)/n base, mass
     leaks through dangling vertices, ONE final sum-normalization
@@ -1031,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rank": q_stream_rank,
         "pagerank_k5": q_pagerank_k5,
         "pagerank_b_k5": q_pagerank_b_k5,
+        "pagerank_w_k5": q_pagerank_w_k5,
         "lpa": q_lpa,
         "lpa_k3": q_lpa_k3,
         "triangles": q_triangles,
@@ -1088,7 +1119,9 @@ _NODES = f"SELECT src AS node FROM ({_BIP}) UNION SELECT dst FROM ({_BIP})"
 _DOC_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
-def _pagerank_unrolled_sql(k: int, d: float = D, family: str = "a") -> str:
+def _pagerank_unrolled_sql(
+    k: int, d: float = D, family: str = "a", weighted: bool = False
+) -> str:
     """PageRank recurrence unrolled into k chained CTE steps. Family "a"
     (pagerank_custom.h:70-87): leaked_i = Σ r_i over dangling vertices,
     base_i = (leaked_i + (1-leaked_i)(1-d))/n, r_{i+1} = base_i + d·Σ w·r_i.
@@ -1129,7 +1162,29 @@ def _pagerank_unrolled_sql(k: int, d: float = D, family: str = "a") -> str:
         else f"""SELECT node AS node_name,
                 round(r / (SELECT sum(r) FROM r{k}), 8) AS rank5 FROM r{k}"""
     )
-    return f"""
+    if weighted:
+        # reply-count-weighted PER-USER transition graph (scales with SF;
+        # the global 'e:' graph is a constant 5 nodes): P(src→dst) =
+        # wt / Σ_out wt
+        raw = """
+          SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || lag(event_type)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                 'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS dst
+          FROM events
+          QUALIFY src IS NOT NULL
+        """
+        prelude = f"""
+        WITH raw AS ({raw}),
+        edges AS (SELECT src, dst, count(*) AS wt FROM raw GROUP BY src, dst),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        od AS (SELECT src, sum(wt) AS out_w FROM edges GROUP BY src),
+        we AS (
+          SELECT e.src, e.dst, e.wt * 1.0 / od.out_w AS w
+          FROM edges e JOIN od ON e.src = od.src
+        ),"""
+    else:
+        prelude = f"""
         WITH edges AS ({_BIP}),
         nodes AS ({_NODES}),
         nn AS (SELECT count(*) AS n FROM nodes),
@@ -1137,7 +1192,8 @@ def _pagerank_unrolled_sql(k: int, d: float = D, family: str = "a") -> str:
         we AS (
           SELECT e.src, e.dst, 1.0 / od.out_deg AS w
           FROM edges e JOIN od ON e.src = od.src
-        ),
+        ),"""
+    return f"""{prelude}
         dang AS (
           SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM od)
         ),
@@ -1236,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_k5": _pagerank_unrolled_sql(5),
         "pagerank_b_k5": _pagerank_unrolled_sql(5, family="b"),
+        "pagerank_w_k5": _pagerank_unrolled_sql(5, weighted=True),
         "lpa_k3": _lpa_unrolled_sql(3),
         "top_hubs": f"""
             SELECT dst AS node_name, count(*) AS in_deg FROM ({_BIP})

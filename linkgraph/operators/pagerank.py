@@ -77,6 +77,7 @@ def pagerank_dataframe(
     run_id: str | None = None,
     family: str = "a",
     init_ranks: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Pure-DataFrame PageRank. ``store`` (optional
     linkgraph.checkpoint.CheckpointStore) snapshots ranks+metrics per
@@ -99,14 +100,33 @@ def pagerank_dataframe(
     (/root/reference/kernels/sparse_matrix.cl:8-18 fixPROutput,
     /root/reference/pagerank_OCL.h:156-161). On dangling graphs the two
     differ at any fixed iteration count (the reference's production config);
-    their converged fixed points coincide after B's normalization."""
+    their converged fixed points coincide after B's normalization.
+
+    ``weight_col`` generalizes to weighted graphs (e.g. the reply-count
+    weights the transcript edge derivation rolls up): each edge's
+    transition probability becomes w / Σ_out w instead of 1/out_deg
+    (weights must be positive; parallel edges are summed first). A vertex
+    with no outgoing weight is dangling exactly as in the unweighted case,
+    so both semantic families apply unchanged. With all weights equal the
+    result is identical to the unweighted engine (pinned in tests)."""
     if family not in ("a", "b"):
         raise ValueError(f"family must be 'a' or 'b', got {family!r}")
     spark = edges.sparkSession
 
-    wedges = weighted_edges(edges).persist()
     verts = vertices(edges)
-    od = out_degrees(edges)
+    if weight_col is None:
+        wedges = weighted_edges(edges).persist()
+        od = out_degrees(edges)
+    else:
+        agg_e = edges.groupBy("src", "dst").agg(F.sum(weight_col).alias("_w"))
+        sums = agg_e.groupBy("src").agg(F.sum("_w").alias("_ow"))
+        wedges = (
+            agg_e.join(sums, "src")
+            .select("src", "dst", (F.col("_w") / F.col("_ow")).alias("weight"))
+            .persist()
+        )
+        # any outgoing weight ⇒ not dangling (weights are positive)
+        od = sums.select(F.col("src").alias("node"), F.lit(1).alias("out_deg"))
     # rank state carries is_dangling so the leaked-mass scalar needs no join
     state0 = (
         verts.join(od, "node", "left")
@@ -495,6 +515,7 @@ def pagerank(
     sharded_graph=None,
     num_shards: int | None = None,
     dense_budget_bytes: int | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Flagship entry point: pick the physical strategy by regime, so no
     caller ever lands on a plan with an O(n) driver bottleneck it didn't
@@ -523,8 +544,9 @@ def pagerank(
         )
 
     if strategy == "auto":
-        if family != "a":
-            strategy = "dataframe"  # family B: only the dataframe engine
+        if family != "a" or weight_col is not None:
+            # family B and weighted graphs: only the dataframe engine
+            strategy = "dataframe"
         else:
             if sharded_graph is not None:
                 n_est, m_est = sharded_graph.n, sharded_graph.m
@@ -551,10 +573,12 @@ def pagerank(
         return pagerank_dataframe(
             edges, d=d, eps=eps, max_iter=max_iter,
             check_convergence=check_convergence, store=store, run_id=run_id,
-            family=family,
+            family=family, weight_col=weight_col,
         )
     if family != "a":
         raise ValueError(f"family {family!r} requires strategy='dataframe'")
+    if weight_col is not None:
+        raise ValueError("weight_col requires strategy='dataframe'")
     if strategy == "sharded":
         return pagerank_sharded(
             edges, d=d, eps=eps, max_iter=max_iter,

@@ -140,3 +140,68 @@ def test_family_b_equals_a_on_dangling_free_graph(spark):
     oracle_a, _ = pagerank_family_a(src, dst, n, eps=1e-12, max_iter=500)
     oracle_b, _ = pagerank_family_b(src, dst, n, eps=1e-12, max_iter=500)
     assert np.allclose(oracle_a, oracle_b, atol=1e-9, rtol=0)
+
+
+def _weighted_numpy_oracle(edges_w, nodes, d=0.85, k=5):
+    """Family-A PageRank with explicit weights: P(src->dst) = w / sum_out w."""
+    nodes = sorted(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_w = np.zeros(n)
+    for s, t, w in edges_w:
+        out_w[idx[s]] += w
+    rank = np.full(n, 1.0 / n)
+    dang = out_w == 0
+    for _ in range(k):
+        leaked = rank[dang].sum()
+        base = (leaked + (1 - leaked) * (1 - d)) / n
+        new = np.full(n, base)
+        for s, t, w in edges_w:
+            new[idx[t]] += d * rank[idx[s]] * w / out_w[idx[s]]
+        rank = new
+    return {v: rank[idx[v]] for v in nodes}
+
+
+def test_weighted_matches_numpy_oracle(spark):
+    edges_w = [
+        (1, 2, 3.0), (1, 3, 1.0),      # 1 splits 75/25
+        (2, 3, 2.0), (3, 1, 5.0),
+        (3, 4, 1.0),                    # 4 dangling
+    ]
+    df = spark.createDataFrame(edges_w, "src long, dst long, weight double")
+    res = pagerank_dataframe(df, weight_col="weight", max_iter=5, check_convergence=False)
+    got = {r["node"]: r["rank"] for r in res.ranks.collect()}
+    want = _weighted_numpy_oracle(edges_w, got.keys())
+    assert got.keys() == want.keys()
+    assert all(abs(got[v] - want[v]) < 1e-12 for v in got)
+    # mass conservation (Family A redistributes dangling mass)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_weighted_equal_weights_match_unweighted(spark):
+    src, dst, n = fx.karate_club()
+    pairs = sorted(set(zip(src.tolist(), dst.tolist())))  # distinct edges
+    dfw = spark.createDataFrame(
+        [(s, t, 7.5) for s, t in pairs], "src long, dst long, weight double"
+    )
+    dfu = spark.createDataFrame(pairs, "src long, dst long")
+    rw = pagerank_dataframe(dfw, weight_col="weight", eps=1e-10, max_iter=300)
+    ru = pagerank_dataframe(dfu, eps=1e-10, max_iter=300)
+    gw = {r["node"]: r["rank"] for r in rw.ranks.collect()}
+    gu = {r["node"]: r["rank"] for r in ru.ranks.collect()}
+    assert rw.iterations == ru.iterations
+    assert all(abs(gw[v] - gu[v]) < 1e-12 for v in gw)
+
+
+def test_weighted_requires_dataframe_strategy(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.operators.pagerank import pagerank
+
+    src, dst, n = fx.toy_cycle()
+    df = fx.edges_df(spark, src, dst).withColumn("weight", F.lit(1.0))
+    with pytest.raises(ValueError, match="weight_col"):
+        pagerank(df, strategy="barrier", weight_col="weight")
+    res = pagerank(df, strategy="auto", weight_col="weight", max_iter=5,
+                   check_convergence=False)
+    assert res.strategy == "dataframe"
