@@ -61,6 +61,24 @@ def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-USER event-type transition graph (node = 'u<user>:<type>'):
+    cycles appear whenever a user revisits a type, and the node count
+    scales with SF (the global 'e:' graph is a constant 5 nodes). Shared
+    by q_scc and q_pagerank_w_k5; the SQL twin is _UTRANS."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def node(c):
+        return F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit(":"), c)
+
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(node(F.col("prev_type")).alias("src"), node(F.col("event_type")).alias("dst"))
+    )
+
+
 # ---------------- queries ----------------
 
 
@@ -173,18 +191,7 @@ def q_scc(spark, sf_dir):
     DuckDB transitive closure + mutual-reachability grouping."""
     from linkgraph.operators.scc import strongly_connected_components
 
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-
-    def node(c):
-        return F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit(":"), c)
-
-    e = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-        .select(node(F.col("prev_type")).alias("src"), node(F.col("event_type")).alias("dst"))
-    )
-    res = strongly_connected_components(e)
+    res = strongly_connected_components(_user_transition_edges(spark, sf_dir))
     return res.components.select(
         F.col("node").alias("node_name"), F.col("component").alias("component_name")
     )
@@ -335,16 +342,8 @@ def q_pagerank_w_k5(spark, sf_dir):
     scheme as pagerank_k5 with a weighted edge prelude."""
     from linkgraph.operators.pagerank import pagerank_dataframe
 
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-
-    def node(c):
-        return F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit(":"), c)
-
     edges = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-        .select(node(F.col("prev_type")).alias("src"), node(F.col("event_type")).alias("dst"))
+        _user_transition_edges(spark, sf_dir)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
@@ -1116,6 +1115,15 @@ _TRANS = """
 """
 _NODES = f"SELECT src AS node FROM ({_BIP}) UNION SELECT dst FROM ({_BIP})"
 
+# SQL twin of _user_transition_edges (per-user transition graph)
+_UTRANS = """
+    SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || lag(event_type)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+           'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS dst
+    FROM events
+    QUALIFY src IS NOT NULL
+"""
+
 _DOC_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
@@ -1163,18 +1171,10 @@ def _pagerank_unrolled_sql(
                 round(r / (SELECT sum(r) FROM r{k}), 8) AS rank5 FROM r{k}"""
     )
     if weighted:
-        # reply-count-weighted PER-USER transition graph (scales with SF;
-        # the global 'e:' graph is a constant 5 nodes): P(src→dst) =
-        # wt / Σ_out wt
-        raw = """
-          SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || lag(event_type)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
-                 'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS dst
-          FROM events
-          QUALIFY src IS NOT NULL
-        """
+        # reply-count-weighted per-user transition graph (_UTRANS):
+        # P(src→dst) = wt / Σ_out wt
         prelude = f"""
-        WITH raw AS ({raw}),
+        WITH raw AS ({_UTRANS}),
         edges AS (SELECT src, dst, count(*) AS wt FROM raw GROUP BY src, dst),
         nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         nn AS (SELECT count(*) AS n FROM nodes),
@@ -1699,14 +1699,8 @@ def oracle_sql() -> dict[str, str]:
     }
     # the two-phase algorithm must produce byte-identical components
     out["components_twophase"] = out["components"]
-    out["scc"] = """
-        WITH RECURSIVE raw AS (
-          SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || lag(event_type)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
-                 'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS dst
-          FROM events
-          QUALIFY src IS NOT NULL
-        ),
+    out["scc"] = f"""
+        WITH RECURSIVE raw AS ({_UTRANS}),
         e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
         nodes AS (
           SELECT src AS node FROM raw UNION SELECT dst FROM raw

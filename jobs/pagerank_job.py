@@ -78,8 +78,9 @@ def main(argv: list[str] | None = None) -> dict:
              "shares one host, else TCP full mesh)")
     args = p.parse_args(argv)
     # fail fast on incompatible flags — BEFORE any (potentially long) graph
-    # build is paid for
-    if args.family != "a" and args.strategy != "dataframe":
+    # build is paid for. auto IS allowed with family b: the dispatch rule
+    # resolves it to the dataframe engine.
+    if args.family != "a" and args.strategy not in ("dataframe", "auto"):
         p.error("--family b is only implemented for --strategy dataframe")
 
     # Session: when launched by spark-submit the master/conf come from the
@@ -95,9 +96,33 @@ def main(argv: list[str] | None = None) -> dict:
     spark.sparkContext.setLogLevel("WARN")
 
     prebuilt = args.shard_dir and os.path.exists(os.path.join(args.shard_dir, "meta.json"))
+
+    # Resolve the auto strategy from CHEAP scalars (meta.json, or two O(m)
+    # aggregations over the edge table) BEFORE any O(n) driver
+    # materialization or shard build — loading a 10^9-vertex layout's node
+    # arrays just to decide to fall back to the dataframe engine would
+    # defeat the dense budget the dispatch exists to enforce.
+    strategy = args.strategy
+    if strategy == "auto":
+        from linkgraph.operators.pagerank import choose_strategy
+
+        if prebuilt:
+            with open(os.path.join(args.shard_dir, "meta.json")) as f:
+                meta = json.load(f)
+            n_est, m_est = meta["n"], meta["m"]
+        elif args.family != "a":
+            n_est = m_est = 0  # dataframe regardless; skip the pre-counts
+        else:
+            n_est = m_est = None  # resolved below once edges exist
+        if n_est is not None:
+            strategy = choose_strategy(
+                n_est, m_est, family=args.family,
+                checkpointed=bool(args.checkpoint_dir and args.run_id),
+            )
+
     t_ingest0 = time.monotonic()
     edges = None
-    if not (prebuilt and args.strategy in ("auto", "barrier", "sharded")):
+    if not (prebuilt and strategy in ("auto", "barrier", "sharded")):
         if args.edges:
             edges = spark.read.parquet(args.edges).select("src", "dst")
         else:
@@ -105,6 +130,14 @@ def main(argv: list[str] | None = None) -> dict:
                 transcripts = spark.read.parquet(args.transcripts)
             elif args.generate:
                 transcripts = generate_transcripts(spark, n_convs=args.generate, seed=args.seed)
+            elif prebuilt:
+                # auto resolved AWAY from the shard layout (n over budget)
+                p.error(
+                    "auto resolved to the dataframe engine (n exceeds the "
+                    "dense budget) but only a prebuilt --shard-dir was "
+                    "given — pass --edges / --transcripts / --generate "
+                    "for the unbounded path"
+                )
             else:
                 p.error("one of --transcripts / --edges / --generate / "
                         "a prebuilt --shard-dir is required")
@@ -113,6 +146,22 @@ def main(argv: list[str] | None = None) -> dict:
     m = edges.count() if edges is not None else 0
     ingest_sec = time.monotonic() - t_ingest0
 
+    if strategy == "auto":
+        # no prebuilt layout and family a: resolve from the edge table
+        from linkgraph.operators.degrees import vertices
+        from linkgraph.operators.pagerank import choose_strategy
+
+        strategy = choose_strategy(
+            vertices(edges).count(), m, family=args.family,
+            checkpointed=bool(args.checkpoint_dir and args.run_id),
+        )
+    if strategy == "dataframe" and edges is None:
+        p.error(
+            "auto resolved to the dataframe engine (n exceeds the dense "
+            "budget) but only a prebuilt --shard-dir was given — pass "
+            "--edges / --transcripts / --generate for the unbounded path"
+        )
+
     store = ParquetManifestStore(args.checkpoint_dir) if args.checkpoint_dir else None
 
     # build (one-time shuffles) timed separately from the iterate loop —
@@ -120,8 +169,7 @@ def main(argv: list[str] | None = None) -> dict:
     # (/root/reference/main.c:32-33,55-61)
     build_sec = 0.0
     g = None
-    if args.strategy in ("auto", "barrier", "sharded"):
-        from linkgraph.operators.pagerank import pagerank
+    if strategy in ("barrier", "sharded"):
         from linkgraph.plans.barrier import pagerank_barrier
         from linkgraph.plans.shards import ShardedGraph
 
@@ -133,13 +181,12 @@ def main(argv: list[str] | None = None) -> dict:
         m = g.m
         build_sec = time.monotonic() - t0
         fn = {
-            "auto": pagerank,
             "barrier": pagerank_barrier,
             "sharded": pagerank_sharded,
-        }[args.strategy]
-        kw = {"mesh_transport": args.mesh} if (
-            args.strategy == "barrier" and args.mesh
-        ) else {}
+        }[strategy]
+        # mesh choice reaches the gang loop on BOTH paths (the sharded
+        # engine's fused regime delegates to the barrier runner)
+        kw = {"mesh_transport": args.mesh} if args.mesh else {}
         t0 = time.monotonic()
         res = fn(
             edges,
@@ -197,7 +244,7 @@ def main(argv: list[str] | None = None) -> dict:
         "parallelism": spark.sparkContext.defaultParallelism,
         "master": spark.sparkContext.master,
         # resolved engine (auto dispatch records its pick), not the flag
-        "strategy": getattr(res, "strategy", "") or args.strategy,
+        "strategy": getattr(res, "strategy", "") or strategy,
     }
     if os.environ.get("LG_DEBUG_ITERS"):
         import statistics as _st

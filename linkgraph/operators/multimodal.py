@@ -133,10 +133,11 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Pure-numpy decoder for uncompressed 8/24/32-bit BMP -> HxW uint8
-    gray (integer ITU-R 601 luma, the same (299R+587G+114B)//1000 Pillow's
-    ``convert("L")`` computes, so the PIL and numpy paths of the real
-    kernel agree bit-for-bit on BMP inputs). Raises ValueError on
-    non-BMP/compressed/unsupported payloads — callers decide the
+    gray. Luma uses Pillow's EXACT ``convert("L")`` fixed-point form
+    ((19595·R + 38470·G + 7471·B + 0x8000) >> 16 — ImagingConvert.c's
+    L24/L), so the PIL and numpy paths of the real kernel agree
+    bit-for-bit on BMP inputs, color included. Raises ValueError on
+    non-BMP/compressed/unsupported/corrupt payloads — callers decide the
     fallback."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
@@ -164,16 +165,21 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if bpp == 8:
         # palette: RGBX entries right after the DIB header
         n_colors = _u(46, 4) or 256
-        pal = np.frombuffer(
-            b[14 + dib : 14 + dib + 4 * n_colors], dtype=np.uint8
-        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
-        rgb = pal[rows[:, :w].astype(np.intp)]
+        pal_bytes = b[14 + dib : min(14 + dib + 4 * n_colors, data_off)]
+        pal = np.frombuffer(pal_bytes, dtype=np.uint8)[
+            : 4 * (len(pal_bytes) // 4)
+        ].reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        idx = rows[:, :w].astype(np.intp)
+        if idx.size and (len(pal) == 0 or idx.max() >= len(pal)):
+            raise ValueError("BMP palette shorter than the max pixel index")
+        rgb = pal[idx]
     else:
         step = bpp // 8
         px = rows[:, : w * step].reshape(h, w, step)
         rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
     r, g, bl = (rgb[:, :, i].astype(np.int64) for i in range(3))
-    return ((r * 299 + g * 587 + bl * 114) // 1000).astype(np.uint8)
+    # Pillow's L24 fixed-point luma (bit-for-bit with convert("L"))
+    return ((r * 19595 + g * 38470 + bl * 7471 + 0x8000) >> 16).astype(np.uint8)
 
 
 def decode_and_featurize(media: DataFrame, real: bool = False) -> DataFrame:
@@ -214,7 +220,11 @@ def decode_and_featurize(media: DataFrame, real: bool = False) -> DataFrame:
                     if img is None:
                         try:
                             img = decode_bmp(p)
-                        except ValueError:
+                        except Exception:
+                            # ValueError for the documented unsupported
+                            # cases; anything else a corrupt header slips
+                            # past validation must ALSO hit the fallback —
+                            # the never-fail contract beats strictness here
                             if not warned:
                                 import warnings
 

@@ -120,9 +120,26 @@ def pagerank_dataframe(
     else:
         agg_e = edges.groupBy("src", "dst").agg(F.sum(weight_col).alias("_w"))
         sums = agg_e.groupBy("src").agg(F.sum("_w").alias("_ow"))
+        # loud guard on the documented positive-weight precondition: a src
+        # whose weights sum to <= 0 would get null/inf transition probs and
+        # silently stop conserving rank mass (it still counts as
+        # non-dangling below)
         wedges = (
             agg_e.join(sums, "src")
-            .select("src", "dst", (F.col("_w") / F.col("_ow")).alias("weight"))
+            .select(
+                "src",
+                "dst",
+                F.when(
+                    F.col("_ow") > 0, F.col("_w") / F.col("_ow")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("pagerank: non-positive total out-weight for src "),
+                            F.col("src").cast("string"),
+                        )
+                    ).cast("double")
+                ).alias("weight"),
+            )
             .persist()
         )
         # any outgoing weight ⇒ not dangling (weights are positive)
@@ -221,6 +238,13 @@ def pagerank_dataframe(
         # final sum-normalization (pagerank_OCL.h:156-161): pr /= Σpr
         total = float(out_ranks.agg(F.sum("rank")).first()[0])
         out_ranks = out_ranks.withColumn("rank", F.col("rank") / F.lit(total))
+    # release the final loop vector's CACHE entry (CacheManager holds it
+    # until explicit unpersist — a caller that runs the engine repeatedly,
+    # e.g. one recompute per streaming microbatch, would otherwise leak one
+    # n-row cached table per call). Result reads stay cheap: out_ranks'
+    # lineage is rooted at the last iteration's already-materialized
+    # localCheckpoint blocks, not at the loop.
+    ranks.unpersist()
     return PageRankResult(
         ranks=out_ranks,
         iterations=it,
@@ -348,6 +372,7 @@ def pagerank_sharded(
     sharded_graph=None,
     batch: bool | None = None,
     fused: bool | None = None,
+    mesh_transport: str | None = None,
 ) -> PageRankResult:
     """Fast path: Family-A PageRank over persisted CSR shards with a numpy
     gather-scatter kernel (plans/shards.py). Semantics identical to
@@ -399,7 +424,7 @@ def pagerank_sharded(
         res = pagerank_barrier(
             d=d, eps=eps, max_iter=max_iter,
             check_convergence=check_convergence, store=store, run_id=run_id,
-            sharded_graph=g,
+            sharded_graph=g, mesh_transport=mesh_transport,
         )
         ranks_df = res.ranks
         if sharded_graph is None:
@@ -502,6 +527,30 @@ def pagerank_sharded(
     )
 
 
+def choose_strategy(
+    n: int,
+    m: int,
+    *,
+    family: str = "a",
+    weighted: bool = False,
+    checkpointed: bool = False,
+    dense_budget_bytes: int | None = None,
+) -> str:
+    """The regime rule behind ``pagerank(strategy="auto")``, shared with the
+    spark-submit job so the CLI can resolve the engine from cheap scalars
+    (meta.json n/m, or two O(m) aggregations) BEFORE any O(n) driver
+    materialization — loading a shard layout's node arrays just to decide
+    to fall back to the dataframe engine would defeat the budget."""
+    budget = dense_budget_bytes if dense_budget_bytes is not None else DENSE_BUDGET_BYTES
+    if family != "a" or weighted:
+        return "dataframe"
+    if n * DENSE_BYTES_PER_VERTEX > budget:
+        return "dataframe"
+    if m <= 64_000_000 and not checkpointed:
+        return "sharded"
+    return "barrier"
+
+
 def pagerank(
     edges: DataFrame | None = None,
     d: float = 0.85,
@@ -544,30 +593,27 @@ def pagerank(
         )
 
     if strategy == "auto":
-        if family != "a" or weight_col is not None:
-            # family B and weighted graphs: only the dataframe engine
-            strategy = "dataframe"
+        if sharded_graph is not None:
+            n_est, m_est = sharded_graph.n, sharded_graph.m
+        elif family != "a" or weight_col is not None:
+            n_est = m_est = 0  # dataframe regardless; skip the counts
         else:
-            if sharded_graph is not None:
-                n_est, m_est = sharded_graph.n, sharded_graph.m
-            else:
-                # two cheap O(m) aggregations; one-time vs. the whole run
-                from linkgraph.operators.degrees import vertices as _verts
+            # two cheap O(m) aggregations; one-time vs. the whole run
+            from linkgraph.operators.degrees import vertices as _verts
 
-                n_est = _verts(edges).count()
-                m_est = edges.count()
-            if n_est * DENSE_BYTES_PER_VERTEX > budget:
-                if edges is None:
-                    raise ValueError(
-                        f"pagerank: n={n_est} exceeds the dense-vector "
-                        "budget and no edge table was given for the "
-                        "unbounded dataframe fallback"
-                    )
-                strategy = "dataframe"
-            elif m_est <= 64_000_000 and (store is None or run_id is None):
-                strategy = "sharded"
-            else:
-                strategy = "barrier"
+            n_est = _verts(edges).count()
+            m_est = edges.count()
+        strategy = choose_strategy(
+            n_est, m_est, family=family, weighted=weight_col is not None,
+            checkpointed=store is not None and run_id is not None,
+            dense_budget_bytes=budget,
+        )
+        if strategy == "dataframe" and edges is None:
+            raise ValueError(
+                f"pagerank: n={n_est} exceeds the dense-vector budget and "
+                "no edge table was given for the unbounded dataframe "
+                "fallback"
+            )
 
     if strategy == "dataframe":
         return pagerank_dataframe(

@@ -194,6 +194,13 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 100) -> SCCR
         n_active = active.count()
 
     e0.unpersist()
+    if n_active > 0:
+        # silence here would mean silently MISSING label rows downstream
+        raise RuntimeError(
+            f"strongly_connected_components: {n_active} vertices still "
+            f"active after max_iter={max_iter} peel rounds (condensation "
+            "deeper than the round budget) — raise max_iter"
+        )
     if labels:
         out = labels[0]
         for part in labels[1:]:

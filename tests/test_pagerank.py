@@ -205,3 +205,13 @@ def test_weighted_requires_dataframe_strategy(spark):
     res = pagerank(df, strategy="auto", weight_col="weight", max_iter=5,
                    check_convergence=False)
     assert res.strategy == "dataframe"
+
+
+def test_weighted_nonpositive_out_weight_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 0.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(Exception, match="non-positive total out-weight"):
+        pagerank_dataframe(
+            df, weight_col="weight", max_iter=2, check_convergence=False
+        ).ranks.collect()

@@ -220,7 +220,8 @@ def test_bmp_roundtrip_kernel():
     assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(gray)), gray)
     rgb = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
     r, g, b = (rgb[:, :, i].astype(np.int64) for i in range(3))
-    luma = ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    # Pillow's exact convert("L") fixed-point luma (ImagingConvert.c L24)
+    luma = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
     assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(rgb)), luma)
     with pytest.raises(ValueError):
         multimodal.decode_bmp(b"not a bitmap at all, far too short?")
@@ -408,3 +409,53 @@ def test_decontaminate_shared_shingle(spark, tmp_path):
         for r in E.q_decontaminate(spark, sf).collect()
     }
     assert pairs == {(test_id, train_id)}
+
+
+def test_decode_bmp_short_palette_raises_and_kernel_survives(spark):
+    """An 8-bit BMP whose palette is shorter than the max pixel index must
+    raise ValueError (not IndexError) from decode_bmp, and the real kernel
+    must fall back to the fake instead of failing the task."""
+    import numpy as np
+
+    # hand-build an 8-bpp BMP: 2x2, palette of 2 entries, a pixel index 5
+    w = h = 2
+    row_bytes = (w + 3) & ~3
+    pal = bytes([0, 0, 0, 0, 255, 255, 255, 0])  # 2 BGRX entries
+    data_off = 14 + 40 + len(pal)
+    pixels = bytes([5, 1, 0, 0, 0, 1, 0, 0])  # index 5 out of range
+    header = (
+        b"BM" + (data_off + row_bytes * h).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + (row_bytes * h).to_bytes(4, "little") + b"\x00" * 8
+        + (2).to_bytes(4, "little") + b"\x00" * 4
+    )
+    bad = header + pal + pixels
+    with pytest.raises(ValueError, match="palette"):
+        multimodal.decode_bmp(bad)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bad), {"width": 2, "height": 2, "n_frames": 0})],
+        "media_id long, kind string, payload binary, meta struct<width:int,height:int,n_frames:int>",
+    )
+    rows = multimodal.decode_and_featurize(df, real=True).collect()
+    assert len(rows) == 1 and rows[0]["n_bytes"] == len(bad)
+
+
+def test_decode_bmp_color_matches_pillow_formula():
+    """Color BMP: luma must equal Pillow's exact fixed-point convert('L')."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    got = multimodal.decode_bmp(multimodal.encode_bmp(img))
+    r, g, b = (img[:, :, i].astype(np.int64) for i in range(3))
+    want = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+    assert np.array_equal(got, want)
+    try:
+        from PIL import Image
+        pil = np.asarray(Image.fromarray(img).convert("L"))
+        assert np.array_equal(got, pil)
+    except ImportError:
+        pass
