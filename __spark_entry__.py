@@ -822,6 +822,22 @@ def q_hits_step(spark, sf_dir):
     )
 
 
+def q_hits_k3(spark, sf_dir):
+    """Three full HITS iterations through the real loop (the hits_step
+    oracle checks one; this unrolls the alternating normalize-gather
+    recurrence into chained CTEs so the loop BODY — both join-aggregates,
+    both L1 normalizations, absent-node zeroing — is value-checked, the
+    pagerank_k5 pattern applied to the second power-iteration metric)."""
+    from linkgraph.operators.hits import hits
+
+    res = hits(_bipartite_edges(spark, sf_dir), max_iter=3, check_convergence=False)
+    return res.scores.select(
+        F.col("node").alias("node_name"),
+        F.round("hub", 8).alias("hub8"),
+        F.round("authority", 8).alias("auth8"),
+    )
+
+
 def q_kcore_round(spark, sf_dir):
     """One k-core peel round (k=3) on the undirected simple bipartite
     graph: vertices surviving the first degree filter, with their simple
@@ -1090,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_brand_top_suppliers": q_tpch_brand_top_suppliers,
         "ppr_step": q_ppr_step,
         "hits_step": q_hits_step,
+        "hits_k3": q_hits_k3,
         "kcore_round": q_kcore_round,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
@@ -1203,6 +1220,46 @@ def _pagerank_unrolled_sql(
     """
 
 
+def _hits_unrolled_sql(k: int) -> str:
+    """HITS recurrence (operators/hits.py semantics: a' = in-gather of h,
+    L1-normalize; h' = out-gather of a', L1-normalize; absent nodes 0)
+    unrolled into k chained CTE rounds."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+            ar{i} AS (
+              SELECT e.dst AS node, sum(s.h) AS a_raw
+              FROM edges e JOIN s{i} s ON e.src = s.node GROUP BY e.dst
+            ),
+            at{i} AS (SELECT sum(a_raw) AS t FROM ar{i}),
+            a{i} AS (
+              SELECT n.node, coalesce(ar.a_raw, 0.0) / at.t AS a
+              FROM nodes n CROSS JOIN at{i} at
+              LEFT JOIN ar{i} ar ON n.node = ar.node
+            ),
+            hr{i} AS (
+              SELECT e.src AS node, sum(a.a) AS h_raw
+              FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+            ),
+            ht{i} AS (SELECT sum(h_raw) AS t FROM hr{i}),
+            s{i + 1} AS (
+              SELECT n.node, coalesce(hr.h_raw, 0.0) / ht.t AS h, a.a AS a
+              FROM nodes n CROSS JOIN ht{i} ht
+              LEFT JOIN hr{i} hr ON n.node = hr.node
+              JOIN a{i} a ON a.node = n.node
+            )""")
+    return f"""
+        WITH edges AS ({_BIP}),
+        nodes AS ({_NODES}),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        s0 AS (SELECT node, 1.0 / nn.n AS h, 1.0 / nn.n AS a
+               FROM nodes CROSS JOIN nn),
+        {",".join(steps)}
+        SELECT node AS node_name, round(h, 8) AS hub8, round(a, 8) AS auth8
+        FROM s{k}
+    """
+
+
 def _lpa_unrolled_sql(k: int) -> str:
     """Synchronous LPA (mode of neighbor labels, ties to the SMALLER label,
     isolated vertices keep theirs — operators/lpa.py semantics) unrolled
@@ -1293,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_k5": _pagerank_unrolled_sql(5),
         "pagerank_b_k5": _pagerank_unrolled_sql(5, family="b"),
         "pagerank_w_k5": _pagerank_unrolled_sql(5, weighted=True),
+        "hits_k3": _hits_unrolled_sql(3),
         "lpa_k3": _lpa_unrolled_sql(3),
         "top_hubs": f"""
             SELECT dst AS node_name, count(*) AS in_deg FROM ({_BIP})
