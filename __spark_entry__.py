@@ -197,6 +197,20 @@ def q_scc(spark, sf_dir):
     )
 
 
+def q_bfs_hops(spark, sf_dir):
+    """Single-source BFS hop distances (operators/bfs.py) from the
+    lexicographic-min vertex over the undirected bipartite view; NULL =
+    unreachable (other components). Oracle = recursive-CTE walk with a
+    min-per-node rollup."""
+    from linkgraph.operators.bfs import hop_distances
+    from linkgraph.operators.degrees import vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    source = vertices(edges).agg(F.min("node")).first()[0]
+    res = hop_distances(edges, source, directed=False)
+    return res.distances.select(F.col("node").alias("node_name"), "dist")
+
+
 def q_components_twophase(spark, sf_dir):
     """Large-star/small-star components (Kiveris et al.) — O(log n) rounds;
     must equal the min-label result exactly (same recursive-CTE oracle)."""
@@ -1072,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": q_components,
         "components_twophase": q_components_twophase,
         "scc": q_scc,
+        "bfs_hops": q_bfs_hops,
         "pagerank": q_pagerank,
         "stream_rank": q_stream_rank,
         "pagerank_k5": q_pagerank_k5,
@@ -1757,6 +1772,25 @@ def oracle_sql() -> dict[str, str]:
     }
     # the two-phase algorithm must produce byte-identical components
     out["components_twophase"] = out["components"]
+    # undirected walk from the min vertex; UNION dedups (node, d) pairs and
+    # the d-cap bounds cycle expansion (the graph diameter is far below it)
+    out["bfs_hops"] = f"""
+        WITH RECURSIVE edges AS ({_BIP}),
+        und AS (
+          SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst
+          UNION SELECT DISTINCT dst, src FROM edges WHERE src <> dst
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        walk(node, d) AS (
+          SELECT (SELECT min(node) FROM nodes), 0
+          UNION
+          SELECT und.b, walk.d + 1 FROM walk JOIN und ON und.a = walk.node
+          WHERE walk.d < 64
+        )
+        SELECT n.node AS node_name, min(w.d) AS dist
+        FROM nodes n LEFT JOIN walk w ON w.node = n.node
+        GROUP BY n.node
+    """
     out["scc"] = f"""
         WITH RECURSIVE raw AS ({_UTRANS}),
         e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
