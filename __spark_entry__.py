@@ -866,6 +866,19 @@ def q_kcore_round(spark, sf_dir):
     )
 
 
+def q_kcore_r3(spark, sf_dir):
+    """Three peel rounds of the REAL k_core loop (k=3, max_rounds=3) —
+    the full round body (degree filter + two-sided edge semi-join) gets a
+    value oracle by unrolling 3 rounds into chained CTEs (peeling is
+    idempotent past the fixpoint, so an early-converged run still equals
+    exactly-3 SQL rounds). Complements kcore_round's single-round check;
+    the unbounded fixpoint stays rows-only-impossible (non-monotone)."""
+    from linkgraph.operators.kcore import k_core
+
+    res = k_core(_bipartite_edges(spark, sf_dir), k=3, max_rounds=3)
+    return res.select(F.col("node").alias("node_name"))
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (operators/asof.py — union + one window pass,
     no range-join explosion): each purchase event picks up the most recent
@@ -1123,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_step": q_hits_step,
         "hits_k3": q_hits_k3,
         "kcore_round": q_kcore_round,
+        "kcore_r3": q_kcore_r3,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
@@ -1275,6 +1289,33 @@ def _hits_unrolled_sql(k: int) -> str:
     """
 
 
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """k-core peel unrolled into ``rounds`` chained CTE rounds over the
+    undirected simple bipartite graph (operators/kcore.py semantics:
+    degree filter >= k, then both-endpoint edge filter)."""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+            d{i} AS (SELECT src, count(*) AS c FROM e{i} GROUP BY src),
+            s{i} AS (SELECT src FROM d{i} WHERE c >= {k}),
+            e{i + 1} AS (
+              SELECT e.src, e.dst FROM e{i} e
+              JOIN s{i} a ON e.src = a.src
+              JOIN s{i} b ON e.dst = b.src
+            )""")
+    return f"""
+        WITH edges AS ({_BIP}),
+        e0 AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges WHERE src <> dst
+            UNION ALL SELECT dst, src FROM edges WHERE src <> dst
+          )
+        ),
+        {",".join(steps)}
+        SELECT DISTINCT src AS node_name FROM e{rounds}
+    """
+
+
 def _lpa_unrolled_sql(k: int) -> str:
     """Synchronous LPA (mode of neighbor labels, ties to the SMALLER label,
     isolated vertices keep theirs — operators/lpa.py semantics) unrolled
@@ -1366,6 +1407,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_b_k5": _pagerank_unrolled_sql(5, family="b"),
         "pagerank_w_k5": _pagerank_unrolled_sql(5, weighted=True),
         "hits_k3": _hits_unrolled_sql(3),
+        "kcore_r3": _kcore_unrolled_sql(3, 3),
         "lpa_k3": _lpa_unrolled_sql(3),
         "top_hubs": f"""
             SELECT dst AS node_name, count(*) AS in_deg FROM ({_BIP})
