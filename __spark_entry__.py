@@ -879,6 +879,91 @@ def q_kcore_r3(spark, sf_dir):
     return res.select(F.col("node").alias("node_name"))
 
 
+def q_ppr_k5(spark, sf_dir):
+    """Five personalized-PageRank steps (teleport vector uniform over the
+    user nodes, leaked dangling mass returned to the teleport vector) over
+    the bipartite user->event-type graph — the full PPR loop BODY
+    value-checked via a 5-step unrolled-CTE oracle, the same treatment
+    pagerank_k5 gives Family A. Complements ppr_step's 2-step check."""
+    from linkgraph.operators.pagerank import personalized_pagerank
+
+    edges = _bipartite_edges(spark, sf_dir)
+    sources = edges.select(F.col("src").alias("node")).distinct()
+    res = personalized_pagerank(edges, sources, max_iter=5, check_convergence=False)
+    return res.ranks.select(
+        F.col("node").alias("node_name"), F.round("rank", 8).alias("rank5")
+    )
+
+
+def q_clustering(spark, sf_dir):
+    """Local clustering coefficients (operators/structure.py) on the
+    per-user transition graph: lcc = 2T/(deg·(deg-1)) with degree-ordered
+    triangle counting underneath. Oracle = ordered-triple triangle
+    enumeration + degree join in DuckDB."""
+    from linkgraph.operators.structure import clustering_coefficients
+
+    res = clustering_coefficients(_user_transition_edges(spark, sf_dir))
+    return res.select(
+        F.col("node").alias("node_name"),
+        "deg",
+        "triangles",
+        F.round("lcc", 8).alias("lcc8"),
+    )
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/structure.py): scores for
+    non-adjacent pairs sharing >= 1 neighbor, wedges keyed by the common
+    neighbor so the aggregate is one shuffle on the pair key."""
+    from linkgraph.operators.structure import adamic_adar
+
+    res = adamic_adar(_user_transition_edges(spark, sf_dir))
+    return res.select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        F.round("aa", 8).alias("aa8"),
+    )
+
+
+def q_reciprocity(spark, sf_dir):
+    """Edge reciprocity of the simple directed per-user transition graph:
+    fraction of directed edges whose reverse also exists (one transpose
+    semi-join + global counts)."""
+    from linkgraph.operators.structure import reciprocity
+
+    res = reciprocity(_user_transition_edges(spark, sf_dir))
+    return res.select(
+        "reciprocated", "total", F.round("reciprocity", 8).alias("recip8")
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (Pearson r of end degrees over ordered edge
+    ends, simple undirected view) — one corr() aggregate after two degree
+    joins. Rounded to 6 dp: Pearson r is a ratio of large near-cancelling
+    sums, so cross-engine float summation order shows up earlier than in
+    plain aggregates."""
+    from linkgraph.operators.structure import degree_assortativity
+
+    res = degree_assortativity(_user_transition_edges(spark, sf_dir))
+    return res.select(F.round("assortativity", 6).alias("assort6"))
+
+
+def q_ktruss_r2(spark, sf_dir):
+    """Two peel rounds of the REAL k-truss loop (k=5: per-edge triangle
+    support >= 3) on the per-user transition graph — the full round body
+    (wedge-join support count + threshold filter) value-checked via a
+    2-round unrolled-CTE oracle, mirroring kcore_r3. The unbounded
+    fixpoint (k_truss) stays pinned in tests (non-monotone, no SQL
+    equivalent)."""
+    from linkgraph.operators.ktruss import _canonical, truss_peel_round
+
+    cur = _canonical(_user_transition_edges(spark, sf_dir))
+    for _ in range(2):
+        cur = truss_peel_round(cur, k=5)
+    return cur.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (operators/asof.py — union + one window pass,
     no range-join explosion): each purchase event picks up the most recent
@@ -1137,6 +1222,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_k3": q_hits_k3,
         "kcore_round": q_kcore_round,
         "kcore_r3": q_kcore_r3,
+        "ppr_k5": q_ppr_k5,
+        "clustering": q_clustering,
+        "adamic_adar": q_adamic_adar,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "ktruss_r2": q_ktruss_r2,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
@@ -1316,6 +1407,96 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     """
 
 
+def _ppr_unrolled_sql(k: int, d: float = D) -> str:
+    """Personalized PageRank unrolled into k chained CTE steps
+    (operators/pagerank.py personalized_pagerank semantics): v uniform over
+    the source set (here: all bipartite src nodes), r0 = v,
+    r_{i+1} = d·(M r_i + leaked_i·v) + (1-d)·v with leaked_i read from the
+    CURRENT iterate over dangling vertices."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+            l{i} AS (
+              SELECT coalesce(sum(r.r), 0.0) AS leaked
+              FROM r{i} r JOIN dang USING (node)
+            ),
+            c{i} AS (
+              SELECT we.dst AS node, sum(we.w * r.r) AS contrib
+              FROM we JOIN r{i} r ON we.src = r.node GROUP BY we.dst
+            ),
+            r{i + 1} AS (
+              SELECT vv.node,
+                     {d} * (coalesce(c{i}.contrib, 0.0) + l{i}.leaked * vv.v)
+                       + {1.0 - d} * vv.v AS r
+              FROM vv CROSS JOIN l{i}
+              LEFT JOIN c{i} ON vv.node = c{i}.node
+            )""")
+    return f"""
+        WITH edges AS ({_BIP}),
+        nodes AS ({_NODES}),
+        od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        we AS (
+          SELECT e.src, e.dst, 1.0 / od.out_deg AS w
+          FROM edges e JOIN od ON e.src = od.src
+        ),
+        srcs AS (SELECT DISTINCT src AS node FROM edges),
+        ns AS (SELECT count(*) AS n FROM srcs),
+        vv AS (
+          SELECT nodes.node,
+                 CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS v
+          FROM nodes CROSS JOIN ns LEFT JOIN srcs s ON nodes.node = s.node
+        ),
+        dang AS (
+          SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM od)
+        ),
+        r0 AS (SELECT node, v AS r FROM vv),
+        {",".join(steps)}
+        SELECT node AS node_name, round(r, 8) AS rank5 FROM r{k}
+    """
+
+
+# simple undirected view of the per-user transition graph + its degrees —
+# shared prelude for the structure.py oracles (clustering / adamic_adar /
+# assortativity / ktruss)
+_UTRANS_UND = f"""
+        raw AS ({_UTRANS}),
+        und AS (
+          SELECT DISTINCT src AS a, dst AS b FROM raw WHERE src <> dst
+          UNION SELECT DISTINCT dst, src FROM raw WHERE src <> dst
+        ),
+        deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY a)
+"""
+
+
+def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
+    """k-truss peel unrolled into ``rounds`` chained CTE rounds over the
+    per-user transition graph (operators/ktruss.py truss_peel_round
+    semantics: per-edge common-neighbor count, keep support >= k-2;
+    zero-support edges drop out of the wedge join, matching the Spark
+    side's coalesce(0) < k-2 filter for k > 2)."""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+            sup{i} AS (
+              SELECT e.a, e.b, count(*) AS c
+              FROM ed{i} e
+              JOIN und{i} u1 ON u1.a = e.a
+              JOIN und{i} u2 ON u2.a = e.b AND u2.b = u1.b
+              GROUP BY e.a, e.b
+            ),
+            ed{i + 1} AS (SELECT a, b FROM sup{i} WHERE c >= {k - 2}),
+            und{i + 1} AS (
+              SELECT a, b FROM ed{i + 1} UNION ALL SELECT b, a FROM ed{i + 1}
+            )""")
+    return f"""
+        WITH {_UTRANS_UND},
+        und0 AS (SELECT a, b FROM und),
+        ed0 AS (SELECT a, b FROM und0 WHERE a < b),
+        {",".join(steps)}
+        SELECT a AS node_a, b AS node_b FROM ed{rounds}
+    """
+
+
 def _lpa_unrolled_sql(k: int) -> str:
     """Synchronous LPA (mode of neighbor labels, ties to the SMALLER label,
     isolated vertices keep theirs — operators/lpa.py semantics) unrolled
@@ -1408,6 +1589,67 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_w_k5": _pagerank_unrolled_sql(5, weighted=True),
         "hits_k3": _hits_unrolled_sql(3),
         "kcore_r3": _kcore_unrolled_sql(3, 3),
+        "ppr_k5": _ppr_unrolled_sql(5),
+        "ktruss_r2": _ktruss_unrolled_sql(5, 2),
+        "clustering": f"""
+            WITH {_UTRANS_UND},
+            tri AS (
+              SELECT e1.a AS u, e1.b AS v, e2.b AS w
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b AND e1.b < e2.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+              WHERE e1.a < e1.b
+            ),
+            pern AS (
+              SELECT u AS node FROM tri
+              UNION ALL SELECT v FROM tri
+              UNION ALL SELECT w FROM tri
+            ),
+            tc AS (SELECT node, count(*) AS t FROM pern GROUP BY node)
+            SELECT d.node AS node_name, d.deg AS deg,
+                   coalesce(tc.t, 0) AS triangles,
+                   round(CASE WHEN d.deg >= 2
+                         THEN 2.0 * coalesce(tc.t, 0) / (d.deg * (d.deg - 1))
+                         ELSE 0.0 END, 8) AS lcc8
+            FROM deg d LEFT JOIN tc ON d.node = tc.node
+        """,
+        "adamic_adar": f"""
+            WITH {_UTRANS_UND},
+            nz AS (
+              SELECT u.a AS z, u.b AS nbr, 1.0 / ln(d.deg) AS w
+              FROM und u JOIN deg d ON d.node = u.a
+              WHERE d.deg >= 2
+            ),
+            cand AS (
+              SELECT l.nbr AS a, r.nbr AS b, sum(l.w) AS aa
+              FROM nz l JOIN nz r ON l.z = r.z AND l.nbr < r.nbr
+              GROUP BY l.nbr, r.nbr
+            )
+            SELECT c.a AS node_a, c.b AS node_b, round(c.aa, 8) AS aa8
+            FROM cand c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM und e WHERE e.a = c.a AND e.b = c.b
+            )
+        """,
+        "reciprocity": f"""
+            WITH raw AS ({_UTRANS}),
+            simple AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            rec AS (
+              SELECT count(*) AS reciprocated
+              FROM simple s JOIN simple r ON r.src = s.dst AND r.dst = s.src
+            ),
+            tot AS (SELECT count(*) AS total FROM simple)
+            SELECT rec.reciprocated, tot.total,
+                   round(rec.reciprocated * 1.0 / tot.total, 8) AS recip8
+            FROM rec, tot
+        """,
+        "assortativity": f"""
+            WITH {_UTRANS_UND}
+            SELECT round(corr(d1.deg, d2.deg), 6) AS assort6
+            FROM und u
+            JOIN deg d1 ON d1.node = u.a
+            JOIN deg d2 ON d2.node = u.b
+        """,
         "lpa_k3": _lpa_unrolled_sql(3),
         "top_hubs": f"""
             SELECT dst AS node_name, count(*) AS in_deg FROM ({_BIP})

@@ -1,0 +1,166 @@
+"""Structural graph statistics: local clustering coefficients, Adamic-Adar
+link prediction, reciprocity, and degree assortativity.
+
+North-rule extensions (no reference implementation exists — the reference is
+PageRank-only, /root/reference/src/pagerank_custom.h): these are the standard
+companions of the §2.9 triangle/LPA/components family for link-graph
+analytics, expressed as pure Catalyst plans (joins + aggregates, zero Python
+in the hot path).
+
+Scale posture:
+* clustering_coefficients reuses the degree-ordered triangle orientation
+  (operators/triangles.py — Suri & Vassilvitskii WWW'11), so the wedge
+  self-join stays O(m^1.5) even on power-law graphs.
+* adamic_adar enumerates wedges keyed by the COMMON neighbor z — the join
+  fan-out is Σ_z deg(z)^2, which a hub dominates; `max_degree` caps z's
+  degree exactly like the standard "drop super-hubs" mitigation (a hub that
+  everyone shares carries ~1/ln(deg) ≈ 0 signal anyway, so the cap is also
+  statistically principled). At 100 TB you'd set max_degree ~ 10^3-10^4 and
+  the wedge table stays linear-ish in m.
+* reciprocity / assortativity are one self-join + one aggregate each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.operators.degrees import symmetrize
+from linkgraph.operators.triangles import triangles_per_vertex
+
+
+def simple_degrees(edges: DataFrame) -> DataFrame:
+    """[node, deg] on the simple undirected view (multi-edges deduped,
+    self-loops dropped)."""
+    return symmetrize(edges).groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex on the simple undirected
+    graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)-1)), 0 when deg < 2.
+
+    Plan: triangle counts come from the degree-ordered wedge join
+    (triangles.py), degrees from one groupBy on the symmetrized edge list,
+    then a left join — vertices in no triangle get T = 0. Returns
+    [node, deg, triangles, lcc].
+    """
+    deg = simple_degrees(edges)
+    tri = triangles_per_vertex(edges)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            2.0
+            * F.coalesce(F.col("triangles"), F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("lcc"),
+    )
+
+
+def adamic_adar(
+    edges: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores for NON-adjacent pairs (a, b),
+    a < b, that share at least one neighbor:
+
+        AA(a, b) = Σ_{z ∈ N(a) ∩ N(b)}  1 / ln(deg(z))
+
+    (Adamic & Adar, "Friends and neighbors on the Web", Social Networks
+    2003.) A common neighbor z necessarily has deg(z) ≥ 2, so ln(deg) > 0.
+
+    Plan: wedges keyed by the common neighbor (und(z→a) ⋈ und(z→b), a < b),
+    weight 1/ln(deg z) joined in BEFORE the pair groupBy so the aggregate is
+    a single shuffle on (a, b); existing edges removed with a left-anti join
+    against the canonical a<b edge set. `max_degree` (optional) drops
+    super-hub common neighbors to bound the wedge fan-out at scale.
+    Returns [a, b, aa].
+    """
+    und = symmetrize(edges)
+    deg = simple_degrees(edges)
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_degree)
+    # deg-1 nodes can never be a common neighbor (their single neighbor
+    # yields no a<b pair) — dropping them here is semantically free and
+    # keeps 1/ln(deg) away from ln(1)=0 under ANSI mode
+    deg = deg.filter(F.col("deg") >= 2)
+    # neighbor lists keyed by z, weighted by z's inverse-log degree
+    nz = und.select(F.col("src").alias("z"), F.col("dst").alias("nbr")).join(
+        deg.select(F.col("node").alias("z"), (1.0 / F.log("deg")).alias("w")),
+        "z",
+    )
+    left = nz.select("z", F.col("nbr").alias("a"), "w")
+    right = nz.select("z", F.col("nbr").alias("b"))
+    pairs = left.join(right, "z").filter(F.col("a") < F.col("b"))
+    canon = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    return (
+        pairs.join(canon, ["a", "b"], "left_anti")
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("aa"))
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Edge reciprocity of the simple directed graph (self-loops dropped):
+    the fraction of directed edges (a, b) whose reverse (b, a) also exists.
+    Returns a single row [reciprocated, total, reciprocity].
+
+    Plan: one semi-join of the simple edge set against its own transpose,
+    then a global count — two shuffles total.
+    """
+    simple = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    rev = simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = simple.join(rev, ["src", "dst"], "left_semi").count()
+    total = simple.count()
+    simple.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(recip, total, (recip / total) if total else 0.0)],
+        "reciprocated long, total long, reciprocity double",
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the simple undirected graph: the Pearson
+    correlation of (deg(u), deg(v)) over all ORDERED edge ends (each
+    undirected edge contributes both (u,v) and (v,u), making the estimator
+    symmetric — the same convention networkx's
+    degree_assortativity_coefficient uses). Returns one row [assortativity].
+
+    Plan: two broadcast-or-shuffle joins of the degree table onto the edge
+    list, then one aggregate computing Pearson r from covar_pop/stddev_pop
+    components (the n-1 factors of the sample estimator cancel in the
+    ratio). Assembled from components rather than corr() so the degenerate
+    zero-variance case (regular graph) yields NULL instead of an ANSI
+    divide-by-zero error.
+    """
+    und = symmetrize(edges)
+    deg = simple_degrees(edges)
+    ends = und.join(
+        deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_src")), "src"
+    ).join(
+        deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_dst")), "dst"
+    )
+    agg = ends.agg(
+        F.covar_pop("deg_src", "deg_dst").alias("cov"),
+        F.stddev_pop("deg_src").alias("sx"),
+        F.stddev_pop("deg_dst").alias("sy"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("sx") > 0) & (F.col("sy") > 0),
+            F.col("cov") / (F.col("sx") * F.col("sy")),
+        ).alias("assortativity")
+    )

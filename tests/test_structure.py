@@ -1,0 +1,206 @@
+"""Exactness pins for operators/structure.py and operators/ktruss.py:
+independent dense-numpy / pure-python oracles on the canonical fixtures
+(karate club + toys), mirroring the kcore/triangles test strategy."""
+
+import math
+
+import numpy as np
+import pytest
+
+from linkgraph.operators.ktruss import k_truss
+from linkgraph.operators.structure import (
+    adamic_adar,
+    clustering_coefficients,
+    degree_assortativity,
+    reciprocity,
+)
+from tests import conftest as fx
+
+
+def _adj(src, dst, n):
+    A = np.zeros((n, n), dtype=np.int64)
+    for u, v in zip(src, dst):
+        if u != v:
+            A[u, v] = 1
+            A[v, u] = 1
+    return A
+
+
+# ---------------- clustering coefficients ----------------
+
+
+def test_clustering_karate_vs_dense_numpy(spark):
+    # independent formulation: T(v) = diag(A^3)/2 on the 0/1 adjacency
+    src, dst, n = fx.karate_club()
+    A = _adj(src, dst, n)
+    tri = np.diag(np.linalg.matrix_power(A, 3)) // 2
+    deg = A.sum(axis=1)
+    lcc = np.where(deg >= 2, 2.0 * tri / np.maximum(deg * (deg - 1), 1), 0.0)
+
+    df = fx.edges_df(spark, src, dst)
+    got = {r["node"]: r for r in clustering_coefficients(df).collect()}
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v]["deg"] == deg[v]
+        assert got[v]["triangles"] == tri[v]
+        assert abs(got[v]["lcc"] - lcc[v]) < 1e-12
+
+
+def test_clustering_triangle_free_graph_is_zero(spark):
+    src, dst, n = fx.two_components()  # two directed cycles of length 5
+    df = fx.edges_df(spark, src, dst)
+    rows = clustering_coefficients(df).collect()
+    assert len(rows) == n
+    assert all(r["triangles"] == 0 and r["lcc"] == 0.0 for r in rows)
+
+
+# ---------------- Adamic-Adar ----------------
+
+
+def test_adamic_adar_path_hand_computed(spark):
+    # path 0-1-2: the only non-adjacent wedge pair is (0,2) through 1 (deg 2)
+    df = fx.edges_df(spark, [0, 1], [1, 2])
+    rows = adamic_adar(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (0, 2)
+    assert abs(r["aa"] - 1.0 / math.log(2)) < 1e-12
+
+
+def test_adamic_adar_square_hand_computed(spark):
+    # 4-cycle 0-1-2-3-0: diagonals (0,2) and (1,3) each share two deg-2
+    # neighbors -> AA = 2/ln 2; adjacent pairs are excluded
+    df = fx.edges_df(spark, [0, 1, 2, 3], [1, 2, 3, 0])
+    got = {(r["a"], r["b"]): r["aa"] for r in adamic_adar(df).collect()}
+    assert set(got) == {(0, 2), (1, 3)}
+    for v in got.values():
+        assert abs(v - 2.0 / math.log(2)) < 1e-12
+
+
+def test_adamic_adar_karate_vs_numpy(spark):
+    src, dst, n = fx.karate_club()
+    A = _adj(src, dst, n)
+    deg = A.sum(axis=1)
+    expected = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if A[a, b]:
+                continue
+            common = np.flatnonzero(A[a] & A[b])
+            if len(common):
+                expected[(a, b)] = float(np.sum(1.0 / np.log(deg[common])))
+    df = fx.edges_df(spark, src, dst)
+    got = {(r["a"], r["b"]): r["aa"] for r in adamic_adar(df).collect()}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+def test_adamic_adar_max_degree_drops_hub_wedges(spark):
+    # star: 1..5 -> 0; every spoke pair shares only the hub (deg 5), so
+    # capping max_degree below 5 empties the candidate set
+    src = [1, 2, 3, 4, 5]
+    dst = [0, 0, 0, 0, 0]
+    df = fx.edges_df(spark, src, dst)
+    assert adamic_adar(df).count() == 10  # C(5,2) spoke pairs via the hub
+    assert adamic_adar(df, max_degree=4).count() == 0
+
+
+# ---------------- reciprocity ----------------
+
+
+def test_reciprocity_hand_computed(spark):
+    # a->b, b->a, a->c : 2 of 3 directed simple edges reciprocated
+    df = fx.edges_df(spark, [0, 1, 0], [1, 0, 2])
+    r = reciprocity(df).first()
+    assert (r["reciprocated"], r["total"]) == (2, 3)
+    assert abs(r["reciprocity"] - 2.0 / 3.0) < 1e-12
+
+
+def test_reciprocity_ignores_self_loops_and_multiedges(spark):
+    src, dst, n = fx.multi_edge()  # dup (0,1)x2, (0,2),(1,2),(2,0), loop (2,2)
+    df = fx.edges_df(spark, src, dst)
+    r = reciprocity(df).first()
+    # simple digraph: {01,02,12,20}; reciprocated: 02 & 20
+    assert (r["reciprocated"], r["total"]) == (2, 4)
+
+
+def test_reciprocity_symmetrized_graph_is_one(spark):
+    src, dst, n = fx.karate_club()  # fixture carries both directions
+    df = fx.edges_df(spark, src, dst)
+    r = reciprocity(df).first()
+    assert r["reciprocity"] == 1.0
+
+
+# ---------------- assortativity ----------------
+
+
+def test_assortativity_karate_vs_numpy_corr(spark):
+    src, dst, n = fx.karate_club()
+    A = _adj(src, dst, n)
+    deg = A.sum(axis=1)
+    us, vs = np.nonzero(A)  # ordered ends, both directions
+    expected = np.corrcoef(deg[us], deg[vs])[0, 1]
+    df = fx.edges_df(spark, src, dst)
+    got = degree_assortativity(df).first()["assortativity"]
+    assert abs(got - expected) < 1e-9
+    assert got < 0  # karate is famously disassortative (~ -0.4756)
+
+
+def test_assortativity_regular_graph_is_degenerate(spark):
+    # cycle: all degrees equal -> zero variance -> corr undefined (NULL)
+    src, dst, n = fx.toy_cycle()
+    df = fx.edges_df(spark, src, dst)
+    assert degree_assortativity(df).first()["assortativity"] is None
+
+
+# ---------------- k-truss ----------------
+
+
+def _ktruss_python(src, dst, n, k):
+    """Independent pure-python peel on the simple undirected graph."""
+    edges = set()
+    for u, v in zip(src, dst):
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    while True:
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        drop = {
+            (a, b) for a, b in edges if len(nbrs[a] & nbrs[b]) < k - 2
+        }
+        if not drop:
+            return sorted(edges)
+        edges -= drop
+
+
+@pytest.mark.parametrize("k", [3, 4, 5, 6])
+def test_ktruss_karate_matches_python_peel(spark, k):
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst)
+    got = sorted((r["a"], r["b"]) for r in k_truss(df, k).collect())
+    assert got == _ktruss_python(src, dst, n, k)
+
+
+def test_ktruss_k4_plus_pendant(spark):
+    # K4 on {0,1,2,3} + pendant edge 3-4: the 4-truss is exactly the K4
+    # (every K4 edge has 2 common neighbors); the 5-truss is empty
+    src = [0, 0, 0, 1, 1, 2, 3]
+    dst = [1, 2, 3, 2, 3, 3, 4]
+    df = fx.edges_df(spark, src, dst)
+    got = k_truss(df, 4).collect()
+    assert sorted((r["a"], r["b"]) for r in got) == [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+    ]
+    assert all(r["support"] == 2 for r in got)
+    assert k_truss(df, 5).count() == 0
+
+
+def test_ktruss_2truss_is_all_edges_with_support(spark):
+    src, dst, n = fx.multi_edge()
+    df = fx.edges_df(spark, src, dst)
+    rows = {(r["a"], r["b"]): r["support"] for r in k_truss(df, 2).collect()}
+    # simple undirected edges of multi_edge: 01, 02, 12 — a triangle
+    assert rows == {(0, 1): 1, (0, 2): 1, (1, 2): 1}
