@@ -925,6 +925,24 @@ def q_adamic_adar(spark, sf_dir):
     )
 
 
+def q_link_scores(spark, sf_dir):
+    """All four classical common-neighbor link-prediction scores
+    (common-neighbors count, Jaccard, Adamic-Adar, resource allocation) in
+    ONE wedge enumeration + one pair-keyed aggregate
+    (operators/structure.py link_prediction)."""
+    from linkgraph.operators.structure import link_prediction
+
+    res = link_prediction(_user_transition_edges(spark, sf_dir))
+    return res.select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        "cn",
+        F.round("jaccard", 8).alias("jac8"),
+        F.round("aa", 8).alias("aa8"),
+        F.round("ra", 8).alias("ra8"),
+    )
+
+
 def q_reciprocity(spark, sf_dir):
     """Edge reciprocity of the simple directed per-user transition graph:
     fraction of directed edges whose reverse also exists (one transpose
@@ -1225,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_k5": q_ppr_k5,
         "clustering": q_clustering,
         "adamic_adar": q_adamic_adar,
+        "link_scores": q_link_scores,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "ktruss_r2": q_ktruss_r2,
@@ -1627,6 +1646,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c.a AS node_a, c.b AS node_b, round(c.aa, 8) AS aa8
             FROM cand c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM und e WHERE e.a = c.a AND e.b = c.b
+            )
+        """,
+        "link_scores": f"""
+            WITH {_UTRANS_UND},
+            nz AS (
+              SELECT u.a AS z, u.b AS nbr,
+                     1.0 / ln(d.deg) AS wa, 1.0 / d.deg AS wr
+              FROM und u JOIN deg d ON d.node = u.a
+              WHERE d.deg >= 2
+            ),
+            cand AS (
+              SELECT l.nbr AS a, r.nbr AS b,
+                     count(*) AS cn, sum(l.wa) AS aa, sum(l.wr) AS ra
+              FROM nz l JOIN nz r ON l.z = r.z AND l.nbr < r.nbr
+              GROUP BY l.nbr, r.nbr
+            )
+            SELECT c.a AS node_a, c.b AS node_b, c.cn AS cn,
+                   round(c.cn * 1.0 / (da.deg + db.deg - c.cn), 8) AS jac8,
+                   round(c.aa, 8) AS aa8, round(c.ra, 8) AS ra8
+            FROM cand c
+            JOIN deg da ON da.node = c.a
+            JOIN deg db ON db.node = c.b
             WHERE NOT EXISTS (
               SELECT 1 FROM und e WHERE e.a = c.a AND e.b = c.b
             )

@@ -72,7 +72,8 @@ def run() -> dict:
                  "minhash_near_dups", "components", "triangles",
                  "pagerank_k5", "lpa_k3", "scc", "repetition",
                  "stratified_sample", "decontaminate", "bfs_hops",
-                 "hits_k3", "pagerank_w_k5"]:
+                 "hits_k3", "pagerank_w_k5", "ppr_k5", "clustering",
+                 "adamic_adar", "ktruss_r2"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()  # force full execution
         queries[name] = round(time.monotonic() - t0, 3)

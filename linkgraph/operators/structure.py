@@ -63,48 +63,92 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     )
 
 
-def adamic_adar(
+def link_prediction(
     edges: DataFrame, max_degree: int | None = None
 ) -> DataFrame:
-    """Adamic-Adar link-prediction scores for NON-adjacent pairs (a, b),
-    a < b, that share at least one neighbor:
+    """The four classical common-neighbor link-prediction scores for
+    NON-adjacent pairs (a, b), a < b, sharing at least one neighbor on the
+    simple undirected graph (Liben-Nowell & Kleinberg, CIKM'03 survey):
 
-        AA(a, b) = Σ_{z ∈ N(a) ∩ N(b)}  1 / ln(deg(z))
+        cn(a, b)  = |N(a) ∩ N(b)|                 (common neighbors)
+        jac(a, b) = cn / |N(a) ∪ N(b)|            (Jaccard)
+        aa(a, b)  = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) (Adamic-Adar)
+        ra(a, b)  = Σ_{z ∈ N(a)∩N(b)} 1/deg(z)    (resource allocation,
+                                                   Zhou-Lü-Zhang EPJ-B 2009)
 
-    (Adamic & Adar, "Friends and neighbors on the Web", Social Networks
-    2003.) A common neighbor z necessarily has deg(z) ≥ 2, so ln(deg) > 0.
-
-    Plan: wedges keyed by the common neighbor (und(z→a) ⋈ und(z→b), a < b),
-    weight 1/ln(deg z) joined in BEFORE the pair groupBy so the aggregate is
-    a single shuffle on (a, b); existing edges removed with a left-anti join
-    against the canonical a<b edge set. `max_degree` (optional) drops
-    super-hub common neighbors to bound the wedge fan-out at scale.
-    Returns [a, b, aa].
+    Plan: ONE wedge enumeration keyed by the common neighbor z
+    (und(z→a) ⋈ und(z→b), a < b) with z's weights (1/ln deg, 1/deg) joined
+    in BEFORE the pair groupBy, so all four sums ride a single shuffle on
+    (a, b); existing edges removed with a left-anti join against the
+    canonical a<b edge set; two final degree joins supply |N(a) ∪ N(b)| =
+    deg(a) + deg(b) − cn for Jaccard. A common neighbor necessarily has
+    deg(z) ≥ 2 (its single neighbor yields no a<b pair), so the deg ≥ 2
+    filter on z is semantically free and keeps 1/ln(deg) away from
+    ln(1) = 0 under ANSI mode. `max_degree` (optional) additionally drops
+    super-hub common neighbors to bound the wedge fan-out Σ_z deg(z)² at
+    scale — the standard mitigation, and statistically principled: a hub
+    everyone shares carries ~1/ln(deg) ≈ 0 signal. Returns
+    [a, b, cn, jaccard, aa, ra].
     """
     und = symmetrize(edges)
     deg = simple_degrees(edges)
+    degz = deg.filter(F.col("deg") >= 2)
     if max_degree is not None:
-        deg = deg.filter(F.col("deg") <= max_degree)
-    # deg-1 nodes can never be a common neighbor (their single neighbor
-    # yields no a<b pair) — dropping them here is semantically free and
-    # keeps 1/ln(deg) away from ln(1)=0 under ANSI mode
-    deg = deg.filter(F.col("deg") >= 2)
-    # neighbor lists keyed by z, weighted by z's inverse-log degree
+        degz = degz.filter(F.col("deg") <= max_degree)
+    # neighbor lists keyed by z, carrying z's inverse-log / inverse degree
     nz = und.select(F.col("src").alias("z"), F.col("dst").alias("nbr")).join(
-        deg.select(F.col("node").alias("z"), (1.0 / F.log("deg")).alias("w")),
+        degz.select(
+            F.col("node").alias("z"),
+            (1.0 / F.log("deg")).alias("wa"),
+            (1.0 / F.col("deg")).alias("wr"),
+        ),
         "z",
     )
-    left = nz.select("z", F.col("nbr").alias("a"), "w")
+    left = nz.select("z", F.col("nbr").alias("a"), "wa", "wr")
     right = nz.select("z", F.col("nbr").alias("b"))
     pairs = left.join(right, "z").filter(F.col("a") < F.col("b"))
     canon = und.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
-    return (
+    scores = (
         pairs.join(canon, ["a", "b"], "left_anti")
         .groupBy("a", "b")
-        .agg(F.sum("w").alias("aa"))
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum("wa").alias("aa"),
+            F.sum("wr").alias("ra"),
+        )
     )
+    return (
+        scores.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "cn",
+            (
+                F.col("cn")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+            ).alias("jaccard"),
+            "aa",
+            "ra",
+        )
+    )
+
+
+def adamic_adar(
+    edges: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """Adamic-Adar scores only — a projection of link_prediction (see
+    there for semantics, plan, and the max_degree hub cap). Returns
+    [a, b, aa]."""
+    return link_prediction(edges, max_degree=max_degree).select("a", "b", "aa")
 
 
 def reciprocity(edges: DataFrame) -> DataFrame:

@@ -96,6 +96,39 @@ def test_adamic_adar_karate_vs_numpy(spark):
         assert abs(got[k] - v) < 1e-9
 
 
+def test_link_prediction_karate_vs_numpy(spark):
+    from linkgraph.operators.structure import link_prediction
+
+    src, dst, n = fx.karate_club()
+    A = _adj(src, dst, n)
+    deg = A.sum(axis=1)
+    expected = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if A[a, b]:
+                continue
+            common = np.flatnonzero(A[a] & A[b])
+            if len(common):
+                cn = len(common)
+                expected[(a, b)] = (
+                    cn,
+                    cn / (deg[a] + deg[b] - cn),
+                    float(np.sum(1.0 / np.log(deg[common]))),
+                    float(np.sum(1.0 / deg[common])),
+                )
+    df = fx.edges_df(spark, src, dst)
+    got = {
+        (r["a"], r["b"]): (r["cn"], r["jaccard"], r["aa"], r["ra"])
+        for r in link_prediction(df).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (cn, jac, aa, ra) in expected.items():
+        assert got[k][0] == cn
+        assert abs(got[k][1] - jac) < 1e-12
+        assert abs(got[k][2] - aa) < 1e-9
+        assert abs(got[k][3] - ra) < 1e-12
+
+
 def test_adamic_adar_max_degree_drops_hub_wedges(spark):
     # star: 1..5 -> 0; every spoke pair shares only the hub (deg 5), so
     # capping max_degree below 5 empties the candidate set
