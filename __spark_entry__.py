@@ -982,6 +982,20 @@ def q_ktruss_r2(spark, sf_dir):
     return cur.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
 
 
+def q_randwalk_k3(spark, sf_dir):
+    """Three deterministic random-walk steps from every vertex of the
+    per-user transition graph (operators/walks.py): next hop = md5-keyed
+    min-hash tournament over out-neighbors — reproducible under retries
+    and repartitioning, and exactly value-checkable cross-engine (md5 is
+    engine-portable, unlike rand() or xxhash64)."""
+    from linkgraph.operators.walks import random_walks
+
+    res = random_walks(_user_transition_edges(spark, sf_dir), walk_len=3)
+    return res.select(
+        F.col("start").alias("start_node"), "step", F.col("node").alias("node_name")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (operators/asof.py — union + one window pass,
     no range-join explosion): each purchase event picks up the most recent
@@ -1247,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "ktruss_r2": q_ktruss_r2,
+        "randwalk_k3": q_randwalk_k3,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
@@ -1516,6 +1531,34 @@ def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
     """
 
 
+def _randwalk_unrolled_sql(k: int, seed: str = "w0") -> str:
+    """Deterministic random walks unrolled into k chained arg_min CTEs
+    (operators/walks.py semantics: next = arg_min over out-neighbors of
+    md5(start|seed|step|dst); md5 hex compares identically in Spark and
+    DuckDB, so the walk table is exactly value-checkable)."""
+    steps = []
+    outs = ["SELECT start, 0 AS step, node FROM w0"]
+    for i in range(1, k + 1):
+        steps.append(f"""
+            w{i} AS (
+              SELECT w.start,
+                     arg_min(e.dst,
+                             md5(w.start || '|{seed}|{i}|' || e.dst)) AS node
+              FROM w{i - 1} w JOIN e ON e.src = w.node
+              GROUP BY w.start
+            )""")
+        outs.append(f"SELECT start, {i} AS step, node FROM w{i}")
+    return f"""
+        WITH raw AS ({_UTRANS}),
+        e AS (SELECT DISTINCT src, dst FROM raw),
+        starts AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        w0 AS (SELECT node AS start, node AS node FROM starts),
+        {",".join(steps)},
+        walk AS ({" UNION ALL ".join(outs)})
+        SELECT start AS start_node, step, node AS node_name FROM walk
+    """
+
+
 def _lpa_unrolled_sql(k: int) -> str:
     """Synchronous LPA (mode of neighbor labels, ties to the SMALLER label,
     isolated vertices keep theirs — operators/lpa.py semantics) unrolled
@@ -1610,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_r3": _kcore_unrolled_sql(3, 3),
         "ppr_k5": _ppr_unrolled_sql(5),
         "ktruss_r2": _ktruss_unrolled_sql(5, 2),
+        "randwalk_k3": _randwalk_unrolled_sql(3),
         "clustering": f"""
             WITH {_UTRANS_UND},
             tri AS (

@@ -1,0 +1,72 @@
+"""Deterministic random walks over the directed edge table.
+
+North-rule extension (the reference, /root/reference/src/pagerank_custom.h,
+is PageRank-only): random walks are the sampling primitive behind
+node2vec/DeepWalk-style embedding pipelines and behind Monte-Carlo PageRank.
+Naive `rand()`-driven walks are irreproducible under retries and
+repartitioning — a correctness hazard this engine already refuses elsewhere
+(see dataset_split's md5-keyed thresholds). Here the next hop is chosen by
+
+    next(walk, step) = argmin_{(cur -> d) ∈ E}  md5(start || sep || seed
+                                                    || sep || step || sep || d)
+
+i.e. a keyed hash tournament over the out-neighbors. Properties:
+
+* Deterministic and engine-portable: md5 of the same string is identical in
+  Spark and DuckDB/ANSI SQL, so the whole walk table has an EXACT value
+  oracle (q_randwalk_k3) — rare for anything named "random".
+* Stable under re-run, repartitioning, and retries (no rand(), no row
+  position); different `seed` strings give independent walk families.
+* Marginally uniform per step: for a node with out-degree k each neighbor
+  wins the min-hash tournament with probability 1/k (hash symmetry), which
+  is exactly the uniform random walk PageRank/DeepWalk assume.
+
+Scale posture: per step, one frontier->edges hash join (fan-out = Σ
+out-degree over frontier) and one min_by aggregate keyed by walk — the
+canonical distributed walk plan. No per-row Python, no collect; k steps =
+k shuffles, each bounded by the live frontier. Dead ends (dangling nodes)
+simply end their walk (the join drops them), matching the walk-restart-free
+formulation.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int,
+    seed: str = "w0",
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """One deterministic walk of ``walk_len`` steps from every node in
+    ``starts`` (default: every vertex of the simple directed graph).
+    Returns [start, step, node] with step 0 = the start itself; walks that
+    hit a dangling node stop early (no rows for later steps).
+    """
+    if walk_len < 0:
+        raise ValueError("walk_len must be >= 0")
+    e = edges.select("src", "dst").distinct()
+    if starts is None:
+        starts = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    cur = starts.select(F.col("node").alias("start"), F.col("node").alias("node"))
+    frames = [cur.select("start", F.lit(0).alias("step"), "node")]
+    for i in range(1, walk_len + 1):
+        hop = cur.join(e, cur["node"] == e["src"]).select(
+            "start",
+            F.col("dst").alias("cand"),
+            F.md5(
+                F.concat_ws("|", F.col("start"), F.lit(seed), F.lit(str(i)), F.col("dst"))
+            ).alias("h"),
+        )
+        cur = hop.groupBy("start").agg(F.min_by("cand", "h").alias("node"))
+        frames.append(cur.select("start", F.lit(i).alias("step"), "node"))
+    return reduce(DataFrame.unionAll, frames)

@@ -1,0 +1,102 @@
+"""Exactness + property pins for operators/walks.py: a pure-python md5
+tournament replica on toy graphs, determinism under repartitioning, seed
+sensitivity, dead-end termination, and per-step marginal uniformity."""
+
+import hashlib
+from collections import Counter
+
+from linkgraph.operators.walks import random_walks
+from tests import conftest as fx
+
+
+def _walks_python(src, dst, walk_len, seed="w0"):
+    nbrs = {}
+    nodes = set()
+    for u, v in zip(src, dst):
+        nbrs.setdefault(u, set()).add(v)
+        nodes.update((u, v))
+    out = {}
+    for s in nodes:
+        cur = s
+        out[(s, 0)] = s
+        for i in range(1, walk_len + 1):
+            cands = nbrs.get(cur)
+            if not cands:
+                break
+            cur = min(
+                cands,
+                key=lambda d: hashlib.md5(
+                    f"{s}|{seed}|{i}|{d}".encode()
+                ).hexdigest(),
+            )
+            out[(s, i)] = cur
+    return out
+
+
+def _collect(df):
+    return {(r["start"], r["step"]): r["node"] for r in df.collect()}
+
+
+def test_walks_karate_match_python_md5_replica(spark):
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst).selectExpr(
+        "cast(src as string) src", "cast(dst as string) dst"
+    )
+    got = _collect(random_walks(df, walk_len=4))
+    exp = _walks_python(
+        [str(u) for u in src], [str(v) for v in dst], 4
+    )
+    assert got == exp
+
+
+def test_walks_deterministic_under_repartition(spark):
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst).selectExpr(
+        "cast(src as string) src", "cast(dst as string) dst"
+    )
+    a = _collect(random_walks(df, walk_len=3))
+    b = _collect(random_walks(df.repartition(13), walk_len=3))
+    assert a == b
+
+
+def test_walks_seed_changes_paths(spark):
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst).selectExpr(
+        "cast(src as string) src", "cast(dst as string) dst"
+    )
+    a = _collect(random_walks(df, walk_len=3, seed="w0"))
+    b = _collect(random_walks(df, walk_len=3, seed="w1"))
+    assert a != b
+    assert {k for k in a if k[1] == 0} == {k for k in b if k[1] == 0}
+
+
+def test_walks_dead_end_stops_early(spark):
+    # path 0 -> 1 -> 2 (directed): the walk from 0 must stop at step 2,
+    # the walk from 2 at step 0
+    df = fx.edges_df(spark, [0, 1], [1, 2]).selectExpr(
+        "cast(src as string) src", "cast(dst as string) dst"
+    )
+    got = _collect(random_walks(df, walk_len=5))
+    assert got == {
+        ("0", 0): "0", ("0", 1): "1", ("0", 2): "2",
+        ("1", 0): "1", ("1", 1): "2",
+        ("2", 0): "2",
+    }
+
+
+def test_walks_step_marginal_is_roughly_uniform(spark):
+    # hub 'h' with 4 spokes; many independent walk families (seeds) from
+    # the single start: each spoke should win the step-1 tournament about
+    # 1/4 of the time (hash symmetry)
+    spokes = [f"s{i}" for i in range(4)]
+    df = spark.createDataFrame(
+        [("h", s) for s in spokes], "src string, dst string"
+    )
+    starts = spark.createDataFrame([("h",)], "node string")
+    hits = Counter()
+    for k in range(20):
+        got = _collect(random_walks(df, 1, seed=f"u{k}", starts=starts))
+        hits[got[("h", 1)]] += 1
+    assert set(hits) <= set(spokes)
+    assert max(hits.values()) <= 12  # no spoke dominates (E=5 per spoke)
+    assert len(hits) >= 3
