@@ -445,6 +445,19 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Corpus-wide exact substring dedup at 10-word-chunk granularity
+    (operators/dedup.py chunk_dedup — the C4-style repeated-span removal):
+    each distinct chunk survives only at its first (doc_id, idx) corpus
+    occurrence; documents are recomposed from surviving chunks."""
+    from linkgraph.operators.dedup import chunk_dedup
+
+    res = chunk_dedup(_docs(spark, sf_dir), width=10)
+    return res.select(
+        F.col("id").alias("doc_id"), "n_chunks", "kept_chunks", "dedup_text"
+    )
+
+
 def q_token_count(spark, sf_dir):
     from linkgraph.operators.textstats import token_count
 
@@ -1226,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_k3": q_lpa_k3,
         "triangles": q_triangles,
         "exact_dedup": q_exact_dedup,
+        "chunk_dedup": q_chunk_dedup,
         "token_count": q_token_count,
         "quality": q_quality,
         "language_id": q_language_id,
@@ -1790,6 +1804,38 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "chunk_dedup": r"""
+            WITH d AS (
+              SELECT doc_id AS id,
+                     string_split(
+                       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '
+                     ) AS toks
+              FROM documents
+            ),
+            chunks AS (
+              SELECT id, i AS idx,
+                     array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ')
+                       AS chunk
+              FROM (
+                SELECT id, toks,
+                       unnest(generate_series(
+                         0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1)) AS i
+                FROM d
+              )
+            ),
+            rk AS (
+              SELECT id, idx, chunk,
+                     row_number() OVER (PARTITION BY chunk ORDER BY id, idx)
+                       AS rn
+              FROM chunks
+            ),
+            tot AS (SELECT id, count(*) AS n_chunks FROM chunks GROUP BY id)
+            SELECT k.id AS doc_id, tot.n_chunks, count(*) AS kept_chunks,
+                   string_agg(k.chunk, ' ' ORDER BY k.idx) AS dedup_text
+            FROM rk k JOIN tot ON tot.id = k.id
+            WHERE k.rn = 1
+            GROUP BY k.id, tot.n_chunks
         """,
         "token_count": f"""
             SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens FROM documents

@@ -311,3 +311,63 @@ def ngram_jaccard_pairs(
         )
     )
     return out
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 10,
+) -> DataFrame:
+    """Corpus-wide EXACT substring dedup at fixed-width word-chunk
+    granularity — the C4/RefinedWeb "repeated span removal" primitive
+    (Raffel et al. 2020 dedup three-sentence spans; here the unit is
+    ``width`` consecutive normalized tokens, which needs no sentence
+    splitter). Every document is cut into non-overlapping ``width``-word
+    chunks; each distinct chunk string survives ONLY at its first corpus
+    occurrence (min (doc_id, chunk_idx) — deterministic, not
+    arrival-order); documents are recomposed from their surviving chunks
+    in order. Documents whose every chunk is claimed elsewhere drop out.
+
+    Returns [id, n_chunks, kept_chunks, dedup_text].
+
+    Plan (pure Catalyst): tokenize → per-doc chunk array via
+    transform(sequence) (no row blowup until one posexplode) → global
+    first-occurrence winner via groupBy(chunk).min(struct(id, idx)) — a
+    single map-side-combinable shuffle on the chunk string — → join back
+    on equality → per-doc ordered recompose with array_sort(collect_list).
+    At 100 TB the chunk table is ~m/width rows; hashing the chunk to 16
+    bytes before the shuffle (as hashed_shingles does) is the next lever,
+    kept exact here because the contract compares recomposed TEXT.
+    """
+    chunked = _doc_toks(docs, id_col, text_col).select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(toks) / {width}.0)) - 1),"
+                f" i -> array_join(slice(toks, i * {width} + 1, {width}), ' '))"
+            )
+        ).alias("idx", "chunk"),
+    )
+    winners = chunked.groupBy("chunk").agg(
+        F.min(F.struct(F.col("id"), F.col("idx"))).alias("w")
+    )
+    kept = chunked.join(winners, "chunk").filter(
+        (F.col("id") == F.col("w.id")) & (F.col("idx") == F.col("w.idx"))
+    )
+    totals = chunked.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_chunks"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(idx, chunk))),"
+                    " x -> x.chunk)"
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .join(totals, "id")
+        .select("id", "n_chunks", "kept_chunks", "dedup_text")
+    )

@@ -30,6 +30,54 @@ def test_exact_dedup(spark):
     assert rows == {1: 2, 3: 1}
 
 
+def test_chunk_dedup_hand_computed(spark):
+    # width=2 chunks: doc1 = [ab, cd], doc2 = [ab, xy] (loses ab to doc1),
+    # doc3 = [ab, cd] (loses everything and drops out)
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in dedup.chunk_dedup(d, width=2).collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1]["n_chunks"], rows[1]["kept_chunks"]) == (2, 2)
+    assert rows[1]["dedup_text"] == "a b c d"
+    assert (rows[2]["n_chunks"], rows[2]["kept_chunks"]) == (2, 1)
+    assert rows[2]["dedup_text"] == "x y"
+
+
+def test_chunk_dedup_within_doc_repeat_kept_once(spark):
+    # the SAME chunk repeated inside one doc survives only at its first idx
+    d = spark.createDataFrame(
+        [(7, "p q p q r s")], "doc_id long, text string"
+    )
+    r = dedup.chunk_dedup(d, width=2).first()
+    assert (r["n_chunks"], r["kept_chunks"]) == (3, 2)
+    assert r["dedup_text"] == "p q r s"
+
+
+def test_chunk_dedup_ragged_tail_and_identity(spark):
+    # 5 tokens at width=2 -> chunks [a b][c d][e]; unique corpus -> identity
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in dedup.chunk_dedup(d, width=2).collect()}
+    assert rows[1]["dedup_text"] == "a b c d e"
+    assert rows[1]["n_chunks"] == 3
+    assert rows[2]["dedup_text"] == "f g h"
+
+
+def test_chunk_dedup_deterministic_under_repartition(spark, docs):
+    a = sorted(
+        dedup.chunk_dedup(docs).collect(),
+        key=lambda r: r["id"],
+    )
+    b = sorted(
+        dedup.chunk_dedup(docs.repartition(17)).collect(),
+        key=lambda r: r["id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_minhash_finds_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again " * 5
     near = base.replace("lazy", "sleepy")
