@@ -995,6 +995,26 @@ def q_ktruss_r2(spark, sf_dir):
     return cur.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
 
 
+def q_knn_curve(spark, sf_dir):
+    """Degree-correlation curve k_nn(k) (operators/structure.py knn_curve):
+    mean average-neighbor-degree per degree class — the distributional
+    companion of the single-number assortativity query."""
+    from linkgraph.operators.structure import knn_curve
+
+    res = knn_curve(_user_transition_edges(spark, sf_dir))
+    return res.select("deg", "n_nodes", F.round("knn", 8).alias("knn8"))
+
+
+def q_top_bigrams(spark, sf_dir):
+    """Top-5 most frequent word bigrams per language
+    (operators/textstats.py top_ngrams): corpus-profile statistic; ONE
+    pre-aggregated count shuffle, then a rank window over the already-tiny
+    distinct-bigram table. Ties break on the bigram string."""
+    from linkgraph.operators.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=5, group_col="lang")
+
+
 def q_randwalk_k3(spark, sf_dir):
     """Three deterministic random-walk steps from every vertex of the
     per-user transition graph (operators/walks.py): next hop = md5-keyed
@@ -1276,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "ktruss_r2": q_ktruss_r2,
         "randwalk_k3": q_randwalk_k3,
+        "knn_curve": q_knn_curve,
+        "top_bigrams": q_top_bigrams,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
@@ -1668,6 +1690,47 @@ def oracle_sql() -> dict[str, str]:
         "ppr_k5": _ppr_unrolled_sql(5),
         "ktruss_r2": _ktruss_unrolled_sql(5, 2),
         "randwalk_k3": _randwalk_unrolled_sql(3),
+        "knn_curve": f"""
+            WITH {_UTRANS_UND},
+            annd AS (
+              SELECT u.a AS node, avg(d2.deg) AS av
+              FROM und u JOIN deg d2 ON d2.node = u.b
+              GROUP BY u.a
+            )
+            SELECT d.deg, count(*) AS n_nodes, round(avg(annd.av), 8) AS knn8
+            FROM deg d JOIN annd ON annd.node = d.node
+            GROUP BY d.deg
+        """,
+        "top_bigrams": r"""
+            WITH d AS (
+              SELECT lang,
+                     string_split(
+                       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '
+                     ) AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT lang, array_to_string(toks[i : i + 1], ' ') AS ngram
+              FROM (
+                SELECT lang, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM d WHERE len(toks) >= 2
+              )
+            ),
+            c AS (
+              SELECT lang, ngram, count(*) AS n_occurrences
+              FROM g GROUP BY lang, ngram
+            ),
+            r AS (
+              SELECT lang, ngram, n_occurrences,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_occurrences DESC, ngram ASC
+                     ) AS rank
+              FROM c
+            )
+            SELECT lang, rank, ngram, n_occurrences FROM r WHERE rank <= 5
+        """,
         "clustering": f"""
             WITH {_UTRANS_UND},
             tri AS (

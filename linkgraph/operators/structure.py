@@ -208,3 +208,38 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             F.col("cov") / (F.col("sx") * F.col("sy")),
         ).alias("assortativity")
     )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Average neighbor degree per vertex on the simple undirected graph
+    (Pastor-Satorras/Vázquez/Vespignani's k_nn building block). Returns
+    [node, deg, avg_nbr_deg].
+
+    Plan: one degree join onto the symmetrized edge list keyed by the
+    NEIGHBOR end, then one avg() groupBy on the node end and a final
+    degree join for the node's own degree — two shuffles."""
+    und = symmetrize(edges)
+    deg = simple_degrees(edges)
+    nbr = und.join(
+        deg.select(F.col("node").alias("dst"), F.col("deg").alias("nbr_deg")),
+        "dst",
+    )
+    per_node = nbr.groupBy(F.col("src").alias("node")).agg(
+        F.avg("nbr_deg").alias("avg_nbr_deg")
+    )
+    return per_node.join(deg, "node").select("node", "deg", "avg_nbr_deg")
+
+
+def knn_curve(edges: DataFrame) -> DataFrame:
+    """Degree-correlation curve k_nn(k): the mean of avg_neighbor_degree
+    over vertices of degree k (rising = assortative, falling =
+    disassortative — the distributional companion of the single-number
+    degree_assortativity). Returns [deg, n_nodes, knn]."""
+    return (
+        avg_neighbor_degree(edges)
+        .groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.avg("avg_nbr_deg").alias("knn"),
+        )
+    )

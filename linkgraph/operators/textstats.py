@@ -176,3 +176,54 @@ def winnowing_fingerprints(
         .select("id", "fp")
         .distinct()
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 5,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most frequent word n-grams per group (default: per language) —
+    the standard corpus-profile / contamination-screen statistic. Ties
+    break on the n-gram string ascending, so the table is deterministic.
+    Returns [<group_col>, rank, ngram, n_occurrences].
+
+    Plan (pure Catalyst): one transform(sequence) builds each doc's n-gram
+    array with NO row blowup, one posexplode + groupBy(group, ngram) count
+    (map-side combinable — the heavy shuffle moves one row per DISTINCT
+    (group, ngram)), then a rank window over groups, which is tiny by the
+    time it runs. At 100 TB the count shuffle is the only big exchange and
+    it is pre-aggregated; the window never sees more than the distinct
+    n-gram table."""
+    from pyspark.sql import Window as W
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = F.split(norm, " ")
+    # docs shorter than n tokens contribute nothing (sequence() would
+    # DESCEND for stop < start, so gate it with CASE, not greatest())
+    grams = docs.select(
+        F.col(group_col).alias("grp"), toks.alias("toks")
+    ).select(
+        "grp",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> array_join(slice(toks, i, {n}), ' ')) "
+                f"ELSE array() END"
+            )
+        ).alias("ngram"),
+    )
+    counts = grams.groupBy("grp", "ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = W.partitionBy("grp").orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "rank", "ngram", "n_occurrences")
+    )

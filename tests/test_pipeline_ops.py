@@ -78,6 +78,36 @@ def test_chunk_dedup_deterministic_under_repartition(spark, docs):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_top_ngrams_hand_computed(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "en", "a b a b c"),
+            (2, "en", "a b x"),
+            (3, "fr", "u v u v"),
+            (4, "fr", "w"),  # shorter than n -> contributes nothing
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = textstats.top_ngrams(d, n=2, k=2).collect()
+    got = {(r["lang"], r["rank"]): (r["ngram"], r["n_occurrences"]) for r in rows}
+    # en bigrams: "a b" x3, "b a" x1, "b c" x1, "b x" x1 -> tie broken on string
+    assert got[("en", 1)] == ("a b", 3)
+    assert got[("en", 2)] == ("b a", 1)
+    # fr: "u v" x2, "v u" x1
+    assert got[("fr", 1)] == ("u v", 2)
+    assert got[("fr", 2)] == ("v u", 1)
+    assert len(rows) == 4
+
+
+def test_top_ngrams_trigram_and_k1(spark):
+    d = spark.createDataFrame(
+        [(1, "en", "x y z x y z x y")], "doc_id long, lang string, text string"
+    )
+    r = textstats.top_ngrams(d, n=3, k=1).collect()
+    assert len(r) == 1
+    assert (r[0]["ngram"], r[0]["n_occurrences"]) == ("x y z", 2)
+
+
 def test_minhash_finds_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again " * 5
     near = base.replace("lazy", "sleepy")

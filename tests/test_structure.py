@@ -187,6 +187,34 @@ def test_assortativity_regular_graph_is_degenerate(spark):
     assert degree_assortativity(df).first()["assortativity"] is None
 
 
+# ---------------- avg neighbor degree / knn curve ----------------
+
+
+def test_avg_neighbor_degree_karate_vs_numpy(spark):
+    from linkgraph.operators.structure import avg_neighbor_degree
+
+    src, dst, n = fx.karate_club()
+    A = _adj(src, dst, n)
+    deg = A.sum(axis=1)
+    df = fx.edges_df(spark, src, dst)
+    got = {r["node"]: r for r in avg_neighbor_degree(df).collect()}
+    assert set(got) == set(range(n))
+    for v in range(n):
+        nbrs = np.flatnonzero(A[v])
+        assert got[v]["deg"] == deg[v]
+        assert abs(got[v]["avg_nbr_deg"] - deg[nbrs].mean()) < 1e-12
+
+
+def test_knn_curve_star_hand_computed(spark):
+    from linkgraph.operators.structure import knn_curve
+
+    # star: hub deg 4 sees avg 1.0; each spoke deg 1 sees avg 4.0
+    df = fx.edges_df(spark, [1, 2, 3, 4], [0, 0, 0, 0])
+    rows = {r["deg"]: r for r in knn_curve(df).collect()}
+    assert rows[4]["n_nodes"] == 1 and rows[4]["knn"] == 1.0
+    assert rows[1]["n_nodes"] == 4 and rows[1]["knn"] == 4.0
+
+
 # ---------------- k-truss ----------------
 
 
