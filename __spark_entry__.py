@@ -995,6 +995,24 @@ def q_ktruss_r2(spark, sf_dir):
     return cur.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
 
 
+def q_harmonic_k4(spark, sf_dir):
+    """Sampled harmonic centrality (operators/bfs.py harmonic_centrality):
+    H(v) = Σ_s 1/dist(s,v) over the 4 lexicographic-min vertices of the
+    undirected bipartite graph — one multi-source frontier BFS, exact
+    value oracle via a seeded recursive-CTE walk."""
+    from linkgraph.operators.bfs import harmonic_centrality
+    from linkgraph.operators.degrees import vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    srcs = vertices(edges).orderBy("node").limit(4)
+    res = harmonic_centrality(edges, srcs, directed=False)
+    return res.select(
+        F.col("node").alias("node_name"),
+        "n_sources",
+        F.round("harmonic", 8).alias("harmonic8"),
+    )
+
+
 def q_knn_curve(spark, sf_dir):
     """Degree-correlation curve k_nn(k) (operators/structure.py knn_curve):
     mean average-neighbor-degree per degree class — the distributional
@@ -1297,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_r2": q_ktruss_r2,
         "randwalk_k3": q_randwalk_k3,
         "knn_curve": q_knn_curve,
+        "harmonic_k4": q_harmonic_k4,
         "top_bigrams": q_top_bigrams,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
@@ -2270,6 +2289,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT n.node AS node_name, min(w.d) AS dist
         FROM nodes n LEFT JOIN walk w ON w.node = n.node
         GROUP BY n.node
+    """
+    # seeded multi-source walk: same UNION-dedup d-capped expansion as
+    # bfs_hops, keyed by (source, node); d > 0 drops the sources' own rows
+    out["harmonic_k4"] = f"""
+        WITH RECURSIVE edges AS ({_BIP}),
+        und AS (
+          SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst
+          UNION SELECT DISTINCT dst, src FROM edges WHERE src <> dst
+        ),
+        -- DISTINCT spelled explicitly: inside WITH RECURSIVE, DuckDB 1.0
+        -- does not dedup a plain UNION in non-recursive CTEs
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+          )
+        ),
+        srcs AS (SELECT node FROM nodes ORDER BY node LIMIT 4),
+        walk(s, node, d) AS (
+          SELECT node, node, 0 FROM srcs
+          UNION
+          SELECT walk.s, und.b, walk.d + 1 FROM walk JOIN und ON und.a = walk.node
+          WHERE walk.d < 64
+        ),
+        best AS (SELECT s, node, min(d) AS d FROM walk GROUP BY s, node)
+        SELECT node AS node_name, count(*) AS n_sources,
+               round(sum(1.0 / d), 8) AS harmonic8
+        FROM best WHERE d > 0 GROUP BY node
     """
     out["scc"] = f"""
         WITH RECURSIVE raw AS ({_UTRANS}),

@@ -81,3 +81,76 @@ def hop_distances(
 
     e.unpersist()
     return BfsResult(distances=dist, iterations=it, iter_metrics=metrics)
+
+
+def multi_source_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    directed: bool = True,
+    max_iter: int = 200,
+) -> BfsResult:
+    """Hop distances from EVERY source in ``sources`` ([node]) in one
+    frontier loop — the K-source building block for harmonic/closeness
+    centrality estimates. Returns [source, node, dist] for REACHED pairs
+    only (dist 0 = the source itself); unreached pairs are simply absent.
+
+    Plan: the settled set is keyed by (source, node); each round joins only
+    the NEW frontier against the edge table (BFS level order means a
+    settled pair never improves, so frontier-only propagation is exact),
+    min-combines per (source, dst), and anti-joins against the settled set
+    — one join + one aggregate + one anti-join + one count action per
+    round, lineage cut by localCheckpoint. At 100 TB: state is
+    O(K·reached), shuffles keyed on (source, node); K is the sampling
+    knob (Eppstein-Wang style estimators use K = O(log n / ε²))."""
+    e = (edges.select("src", "dst") if directed else symmetrize(edges)).persist()
+    settled = (
+        sources.select(
+            F.col("node").alias("source"),
+            F.col("node").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    metrics: list[dict] = []
+    it = 0
+    for it in range(1, max_iter + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .groupBy("source", F.col("dst").alias("n2"))
+            .agg((F.min("dist") + 1).alias("dist"))
+            .withColumnRenamed("n2", "node")
+        )
+        new = cand.join(settled, ["source", "node"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_new = new.count()
+        metrics.append({"iteration": it, "settled": int(n_new)})
+        if n_new == 0:
+            break
+        settled = settled.union(new).localCheckpoint(eager=True)
+        frontier = new
+    e.unpersist()
+    return BfsResult(distances=settled, iterations=it, iter_metrics=metrics)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    directed: bool = False,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Harmonic centrality restricted to a source sample: H(v) = Σ_{s ∈
+    sources, s ≠ v, reachable} 1 / dist(s, v) (Boldi & Vigna, "Axioms for
+    centrality", 2014 — the sampled form is the standard scalable
+    estimator; exact when sources = all vertices). Returns
+    [node, n_sources, harmonic] for nodes reached by at least one source."""
+    hops = multi_source_hops(edges, sources, directed=directed, max_iter=max_iter)
+    return (
+        hops.distances.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(1.0 / F.col("dist")).alias("harmonic"),
+        )
+    )

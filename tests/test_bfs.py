@@ -60,3 +60,62 @@ def test_karate_eccentricity(spark):
     # rounds = source eccentricity + 1 (the final no-change round)
     ecc = max(v for v in want.values() if v is not None)
     assert res.iterations == ecc + 1
+
+
+# ---------------- multi-source hops / harmonic centrality ----------------
+
+
+def test_multi_source_matches_per_source_bfs(spark):
+    from linkgraph.operators.bfs import multi_source_hops
+
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst)
+    sources = [0, 5, 33]
+    sdf = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {
+        (r["source"], r["node"]): r["dist"]
+        for r in multi_source_hops(df, sdf, directed=False).distances.collect()
+    }
+    for s in sources:
+        exp = bfs_oracle(list(zip(src, dst)), s, directed=False)
+        for v, d in exp.items():
+            if d is None:
+                assert (s, v) not in got
+            else:
+                assert got[(s, v)] == d
+
+
+def test_multi_source_unreached_pairs_absent(spark):
+    from linkgraph.operators.bfs import multi_source_hops
+
+    # two disjoint directed paths: 0->1 and 10->11; sources 0 and 10
+    df = fx.edges_df(spark, [0, 10], [1, 11])
+    sdf = spark.createDataFrame([(0,), (10,)], "node long")
+    got = {
+        (r["source"], r["node"]): r["dist"]
+        for r in multi_source_hops(df, sdf, directed=True).distances.collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 1, (10, 10): 0, (10, 11): 1}
+
+
+def test_harmonic_centrality_karate_vs_python(spark):
+    from linkgraph.operators.bfs import harmonic_centrality
+
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst)
+    sources = [0, 1, 2, 3]
+    sdf = spark.createDataFrame([(s,) for s in sources], "node long")
+    expected = {}
+    for s in sources:
+        for v, d in bfs_oracle(list(zip(src, dst)), s, directed=False).items():
+            if d:
+                ns, h = expected.get(v, (0, 0.0))
+                expected[v] = (ns + 1, h + 1.0 / d)
+    got = {
+        r["node"]: (r["n_sources"], r["harmonic"])
+        for r in harmonic_centrality(df, sdf, directed=False).collect()
+    }
+    assert set(got) == set(expected)
+    for v, (ns, h) in expected.items():
+        assert got[v][0] == ns
+        assert abs(got[v][1] - h) < 1e-12
