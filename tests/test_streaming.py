@@ -181,7 +181,10 @@ def test_stream_pagerank_maintenance(spark, tmp_path):
         q = stream_pagerank_maintenance(
             edges, work, ckpt, eps=1e-9, available_now=True
         )
-        q.awaitTermination(180)
+        # fail loudly on timeout: awaitTermination returns False quietly,
+        # and the subsequent read_rank_table error hides the real cause
+        # (observed once when the full suite ran alongside other sessions)
+        assert q.awaitTermination(540), "microbatch did not finish in 540s"
 
     def batch_ranks():
         e = derive_edges(spark.read.parquet(src)).select("src", "dst")
