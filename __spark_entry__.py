@@ -1013,6 +1013,34 @@ def q_harmonic_k4(spark, sf_dir):
     )
 
 
+def q_eff_diameter(spark, sf_dir):
+    """Sampled effective diameter (operators/bfs.py effective_diameter):
+    smallest d covering >= 90% of reached pairs from the same 4-source
+    sample as harmonic_k4, plus max distance and pair count."""
+    from linkgraph.operators.bfs import effective_diameter
+    from linkgraph.operators.degrees import vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    srcs = vertices(edges).orderBy("node").limit(4)
+    return effective_diameter(edges, srcs, q=0.9, directed=False)
+
+
+def q_len_percentiles(spark, sf_dir):
+    """Exact per-language length percentiles (textstats.group_percentiles,
+    linear-interpolated percentile aggregate — the audit baseline for
+    approx_percentile at scale)."""
+    from linkgraph.operators.textstats import group_percentiles
+
+    res = group_percentiles(_docs(spark, sf_dir), "n_chars", "lang")
+    return res.select(
+        "lang",
+        "n",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
 def q_knn_curve(spark, sf_dir):
     """Degree-correlation curve k_nn(k) (operators/structure.py knn_curve):
     mean average-neighbor-degree per degree class — the distributional
@@ -1316,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "randwalk_k3": q_randwalk_k3,
         "knn_curve": q_knn_curve,
         "harmonic_k4": q_harmonic_k4,
+        "eff_diameter": q_eff_diameter,
+        "len_percentiles": q_len_percentiles,
         "top_bigrams": q_top_bigrams,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
@@ -1719,6 +1749,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.deg, count(*) AS n_nodes, round(avg(annd.av), 8) AS knn8
             FROM deg d JOIN annd ON annd.node = d.node
             GROUP BY d.deg
+        """,
+        "len_percentiles": """
+            SELECT lang, count(*) AS n,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents GROUP BY lang
         """,
         "top_bigrams": r"""
             WITH d AS (
@@ -2316,6 +2353,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS node_name, count(*) AS n_sources,
                round(sum(1.0 / d), 8) AS harmonic8
         FROM best WHERE d > 0 GROUP BY node
+    """
+    # same seeded walk; per-distance counts + running-sum quantile
+    out["eff_diameter"] = f"""
+        WITH RECURSIVE edges AS ({_BIP}),
+        und AS (
+          SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst
+          UNION SELECT DISTINCT dst, src FROM edges WHERE src <> dst
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+          )
+        ),
+        srcs AS (SELECT node FROM nodes ORDER BY node LIMIT 4),
+        walk(s, node, d) AS (
+          SELECT node, node, 0 FROM srcs
+          UNION
+          SELECT walk.s, und.b, walk.d + 1 FROM walk JOIN und ON und.a = walk.node
+          WHERE walk.d < 64
+        ),
+        best AS (SELECT s, node, min(d) AS d FROM walk GROUP BY s, node),
+        per_d AS (SELECT d, count(*) AS c FROM best WHERE d > 0 GROUP BY d),
+        cum AS (
+          SELECT d, sum(c) OVER (ORDER BY d) AS cum,
+                 sum(c) OVER () AS total
+          FROM per_d
+        )
+        SELECT CAST(max(total) AS BIGINT) AS n_pairs,
+               max(d) AS max_dist,
+               min(CASE WHEN cum >= 0.9 * total THEN d END) AS eff_diameter
+        FROM cum
     """
     out["scc"] = f"""
         WITH RECURSIVE raw AS ({_UTRANS}),

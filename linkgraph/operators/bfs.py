@@ -154,3 +154,41 @@ def harmonic_centrality(
             F.sum(1.0 / F.col("dist")).alias("harmonic"),
         )
     )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    sources: DataFrame,
+    q: float = 0.9,
+    directed: bool = False,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Sampled effective diameter: the smallest hop distance d such that at
+    least fraction ``q`` of the reached (source, node) pairs (dist ≥ 1) lie
+    within d — the integer-valued form of the classic "90% effective
+    diameter" (Leskovec-Kleinberg-Faloutsos KDD'05 use the interpolated
+    variant; the integer form is exact and engine-portable). Also returns
+    the sample's max distance (a diameter lower bound) and the pair count.
+    Returns one row [n_pairs, max_dist, eff_diameter].
+
+    Plan: multi_source_hops → per-distance counts (tiny: one row per
+    distinct hop value) → running-sum window over that tiny table."""
+    from pyspark.sql import Window as W
+
+    hops = multi_source_hops(edges, sources, directed=directed, max_iter=max_iter)
+    per_d = (
+        hops.distances.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.orderBy("dist").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_d.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(W.partitionBy())
+    )
+    return cum.agg(
+        F.max("total").alias("n_pairs"),
+        F.max("dist").alias("max_dist"),
+        F.min(
+            F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("dist"))
+        ).alias("eff_diameter"),
+    )

@@ -227,3 +227,27 @@ def top_ngrams(
         .filter(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "rank", "ngram", "n_occurrences")
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact linear-interpolated percentiles of ``value_col`` per group —
+    the corpus length-distribution profile (and the exactness baseline for
+    approx_percentile at scale, where you would swap in the t-digest
+    variant and keep this as the audit). Returns
+    [<group_col>, n, p<q1>, p<q2>, ...].
+
+    percentile() is an exact JVM-side aggregate (sort within group); at
+    100 TB you run it per partition-friendly group (language, source) —
+    groups are the unit of skew, not rows."""
+    aggs = [
+        F.percentile(F.col(value_col), F.lit(q)).alias(
+            "p" + str(q).replace("0.", "").ljust(2, "0")
+        )
+        for q in qs
+    ]
+    return df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"), *aggs)

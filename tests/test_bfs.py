@@ -119,3 +119,39 @@ def test_harmonic_centrality_karate_vs_python(spark):
     for v, (ns, h) in expected.items():
         assert got[v][0] == ns
         assert abs(got[v][1] - h) < 1e-12
+
+
+def test_effective_diameter_path_hand_computed(spark):
+    from linkgraph.operators.bfs import effective_diameter
+
+    # path 0-1-2-3-4 (undirected), sources {0}: dists 1,2,3,4 ->
+    # q=0.9 needs cum >= 3.6 -> d=4; q=0.5 -> cum >= 2 -> d=2
+    df = fx.edges_df(spark, [0, 1, 2, 3], [1, 2, 3, 4])
+    sdf = spark.createDataFrame([(0,)], "node long")
+    r = effective_diameter(df, sdf, q=0.9, directed=False).first()
+    assert (r["n_pairs"], r["max_dist"], r["eff_diameter"]) == (4, 4, 4)
+    r2 = effective_diameter(df, sdf, q=0.5, directed=False).first()
+    assert r2["eff_diameter"] == 2
+
+
+def test_effective_diameter_karate_vs_python(spark):
+    from linkgraph.operators.bfs import effective_diameter
+
+    src, dst, n = fx.karate_club()
+    sources = [0, 16, 33]
+    dists = []
+    for s in sources:
+        dists += [
+            d
+            for d in bfs_oracle(list(zip(src, dst)), s, directed=False).values()
+            if d
+        ]
+    dists.sort()
+    import math
+    exp_eff = dists[math.ceil(0.9 * len(dists)) - 1]
+    df = fx.edges_df(spark, src, dst)
+    sdf = spark.createDataFrame([(s,) for s in sources], "node long")
+    r = effective_diameter(df, sdf, q=0.9, directed=False).first()
+    assert r["n_pairs"] == len(dists)
+    assert r["max_dist"] == max(dists)
+    assert r["eff_diameter"] == exp_eff

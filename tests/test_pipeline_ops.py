@@ -537,3 +537,18 @@ def test_decode_bmp_color_matches_pillow_formula():
         assert np.array_equal(got, pil)
     except ImportError:
         pass
+
+
+def test_group_percentiles_vs_numpy(spark, docs):
+    import numpy as np
+
+    got = {
+        r["lang"]: r
+        for r in textstats.group_percentiles(docs, "n_chars", "lang").collect()
+    }
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        v = grp["n_chars"].to_numpy()
+        assert got[lang]["n"] == len(v)
+        for q, c in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert abs(got[lang][c] - np.quantile(v, q)) < 1e-9
