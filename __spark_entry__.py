@@ -1013,6 +1013,28 @@ def q_harmonic_k4(spark, sf_dir):
     )
 
 
+def q_betweenness_k4(spark, sf_dir):
+    """Sampled Brandes betweenness (operators/betweenness.py) from the 4
+    lexicographic-min USER vertices of the undirected bipartite graph
+    (user seeds give a deeper BFS DAG than the event-type hubs). BOTH
+    phases — σ path counts and the δ dependency accumulation — are
+    value-checked via fixed-level unrolled CTEs."""
+    from linkgraph.operators.betweenness import betweenness_sample
+    from linkgraph.operators.degrees import vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    srcs = (
+        vertices(edges)
+        .filter(F.col("node").startswith("u:"))
+        .orderBy("node")
+        .limit(4)
+    )
+    res = betweenness_sample(edges, srcs, directed=False)
+    return res.select(
+        F.col("node").alias("node_name"), F.round("bc", 6).alias("bc6")
+    )
+
+
 def q_eff_diameter(spark, sf_dir):
     """Sampled effective diameter (operators/bfs.py effective_diameter):
     smallest d covering >= 90% of reached pairs from the same 4-source
@@ -1345,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_curve": q_knn_curve,
         "harmonic_k4": q_harmonic_k4,
         "eff_diameter": q_eff_diameter,
+        "betweenness_k4": q_betweenness_k4,
         "len_percentiles": q_len_percentiles,
         "top_bigrams": q_top_bigrams,
         "asof_join": q_asof_join,
@@ -1616,6 +1639,79 @@ def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
     """
 
 
+def _betweenness_unrolled_sql(levels: int = 8, n_sources: int = 4) -> str:
+    """Brandes betweenness unrolled into fixed-level CTEs
+    (operators/betweenness.py semantics): forward levels f1..fL carry σ
+    (sum over frontier predecessors, anti-joined against settled),
+    backward levels dl{L-1}..dl1 carry δ (σv/σw · (1+δw) over successors
+    one level deeper). ``levels`` must exceed the sample's eccentricity
+    (the Spark side runs to fixpoint; levels=8 >> the bipartite graph's
+    ~4). Sources: the n_sources lexicographic-min user vertices."""
+    fwd, f_names = [], []
+    for l in range(1, levels + 1):
+        fwd.append(f"""
+            f{l} AS MATERIALIZED (
+              SELECT f.s, u.b AS node, sum(f.sig) AS sig
+              FROM f{l - 1} f JOIN und u ON u.a = f.node
+              WHERE NOT EXISTS (
+                SELECT 1 FROM st{l - 1} st WHERE st.s = f.s AND st.node = u.b
+              )
+              GROUP BY f.s, u.b
+            ),
+            st{l} AS MATERIALIZED (
+              SELECT * FROM st{l - 1}
+              UNION ALL SELECT s, node, {l} AS d, sig FROM f{l}
+            )""")
+        f_names.append(f"f{l}")
+    bwd, d_names = [], []
+    for lev in range(levels - 1, 0, -1):
+        prev = (
+            f"LEFT JOIN dl{lev + 1} dd ON dd.s = w.s AND dd.node = w.node"
+            if lev < levels - 1
+            else ""
+        )
+        dterm = (
+            "coalesce(dd.delta, 0.0)" if lev < levels - 1 else "0.0"
+        )
+        bwd.append(f"""
+            dl{lev} AS MATERIALIZED (
+              SELECT v.s, v.node,
+                     sum(v.sig * (1.0 + {dterm}) / w.sig) AS delta
+              FROM st{levels} v
+              JOIN und u ON u.a = v.node
+              JOIN st{levels} w
+                ON w.s = v.s AND w.node = u.b AND w.d = {lev + 1}
+              {prev}
+              WHERE v.d = {lev}
+              GROUP BY v.s, v.node
+            )""")
+        d_names.append(f"dl{lev}")
+    union_d = " UNION ALL ".join(f"SELECT * FROM {n}" for n in d_names)
+    return f"""
+        WITH edges AS ({_BIP}),
+        und AS MATERIALIZED (
+          SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst
+          UNION SELECT DISTINCT dst, src FROM edges WHERE src <> dst
+        ),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+          )
+        ),
+        srcs AS MATERIALIZED (
+          SELECT node FROM nodes WHERE node LIKE 'u:%'
+          ORDER BY node LIMIT {n_sources}
+        ),
+        f0 AS MATERIALIZED (SELECT node AS s, node, 1.0 AS sig FROM srcs),
+        st0 AS MATERIALIZED (SELECT s, node, 0 AS d, sig FROM f0),
+        {",".join(fwd)},
+        {",".join(bwd)},
+        alld AS ({union_d})
+        SELECT node AS node_name, round(sum(delta), 6) AS bc6
+        FROM alld GROUP BY node
+    """
+
+
 def _randwalk_unrolled_sql(k: int, seed: str = "w0") -> str:
     """Deterministic random walks unrolled into k chained arg_min CTEs
     (operators/walks.py semantics: next = arg_min over out-neighbors of
@@ -1739,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_k5": _ppr_unrolled_sql(5),
         "ktruss_r2": _ktruss_unrolled_sql(5, 2),
         "randwalk_k3": _randwalk_unrolled_sql(3),
+        "betweenness_k4": _betweenness_unrolled_sql(8, 4),
         "knn_curve": f"""
             WITH {_UTRANS_UND},
             annd AS (

@@ -73,7 +73,9 @@ def run() -> dict:
                  "pagerank_k5", "lpa_k3", "scc", "repetition",
                  "stratified_sample", "decontaminate", "bfs_hops",
                  "hits_k3", "pagerank_w_k5", "ppr_k5", "clustering",
-                 "adamic_adar", "ktruss_r2"]:
+                 "adamic_adar", "ktruss_r2", "link_scores", "randwalk_k3",
+                 "chunk_dedup", "knn_curve", "top_bigrams", "harmonic_k4",
+                 "eff_diameter", "betweenness_k4", "len_percentiles"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()  # force full execution
         queries[name] = round(time.monotonic() - t0, 3)
