@@ -1013,6 +1013,25 @@ def q_harmonic_k4(spark, sf_dir):
     )
 
 
+def q_sssp_r4(spark, sf_dir):
+    """Four fixed Bellman-Ford relaxation rounds (operators/sssp.py) on
+    the undirected per-user transition graph with cost = 1/transition
+    count — the weighted-shortest-path loop BODY value-checked via a
+    4-round unrolled-CTE oracle computing the identical recurrence
+    (fixpoint pinned against python Dijkstra in tests)."""
+    from linkgraph.operators.sssp import shortest_paths, symmetrized_cost_edges
+
+    ce = symmetrized_cost_edges(_user_transition_edges(spark, sf_dir))
+    source = ce.select(F.least(F.min("src"), F.min("dst"))).first()[0]
+    res = shortest_paths(
+        ce, source, weight_col="cost", directed=False,
+        max_iter=4, check_convergence=False,
+    )
+    return res.distances.select(
+        F.col("node").alias("node_name"), F.round("cost", 8).alias("cost8")
+    )
+
+
 def q_betweenness_k4(spark, sf_dir):
     """Sampled Brandes betweenness (operators/betweenness.py) from the 4
     lexicographic-min USER vertices of the undirected bipartite graph
@@ -1368,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_k4": q_harmonic_k4,
         "eff_diameter": q_eff_diameter,
         "betweenness_k4": q_betweenness_k4,
+        "sssp_r4": q_sssp_r4,
         "len_percentiles": q_len_percentiles,
         "top_bigrams": q_top_bigrams,
         "asof_join": q_asof_join,
@@ -1639,6 +1659,51 @@ def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
     """
 
 
+def _sssp_unrolled_sql(rounds: int) -> str:
+    """Bellman-Ford unrolled into ``rounds`` chained CTE rounds over the
+    undirected cost = 1/count per-user transition graph (operators/sssp.py
+    semantics: new = least(old, min over incoming (pred_cost + w)), NULL =
+    not yet reached). The CASE spells out NULL handling so both engines
+    compute the identical recurrence."""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+            c{i} AS (
+              SELECT we.dst AS node, min(r.cost + we.w) AS cand
+              FROM we JOIN r{i} r ON we.src = r.node
+              WHERE r.cost IS NOT NULL
+              GROUP BY we.dst
+            ),
+            r{i + 1} AS (
+              SELECT r.node,
+                     CASE WHEN r.cost IS NULL THEN c.cand
+                          WHEN c.cand IS NULL THEN r.cost
+                          ELSE least(r.cost, c.cand) END AS cost
+              FROM r{i} r LEFT JOIN c{i} c ON c.node = r.node
+            )""")
+    return f"""
+        WITH raw AS ({_UTRANS}),
+        simple AS (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                 count(*) AS cnt
+          FROM raw WHERE src <> dst GROUP BY 1, 2
+        ),
+        we AS (
+          SELECT a AS src, b AS dst, 1.0 / cnt AS w FROM simple
+          UNION ALL SELECT b, a, 1.0 / cnt FROM simple
+        ),
+        nodes AS (SELECT a AS node FROM simple UNION SELECT b FROM simple),
+        s0 AS (SELECT min(node) AS s FROM nodes),
+        r0 AS (
+          SELECT node,
+                 CASE WHEN node = (SELECT s FROM s0) THEN 0.0 END AS cost
+          FROM nodes
+        ),
+        {",".join(steps)}
+        SELECT node AS node_name, round(cost, 8) AS cost8 FROM r{rounds}
+    """
+
+
 def _betweenness_unrolled_sql(levels: int = 8, n_sources: int = 4) -> str:
     """Brandes betweenness unrolled into fixed-level CTEs
     (operators/betweenness.py semantics): forward levels f1..fL carry σ
@@ -1836,6 +1901,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_r2": _ktruss_unrolled_sql(5, 2),
         "randwalk_k3": _randwalk_unrolled_sql(3),
         "betweenness_k4": _betweenness_unrolled_sql(8, 4),
+        "sssp_r4": _sssp_unrolled_sql(4),
         "knn_curve": f"""
             WITH {_UTRANS_UND},
             annd AS (
