@@ -1013,6 +1013,21 @@ def q_harmonic_k4(spark, sf_dir):
     )
 
 
+def q_mis_r2(spark, sf_dir):
+    """Two rounds of Luby's maximal-independent-set algorithm
+    (operators/mis.py) with md5-keyed priorities on the per-user
+    transition graph — deterministic symmetry breaking whose round body
+    (priority tournament + winner/neighbor removal) is value-checked via
+    a 2-round unrolled-CTE oracle. The fixpoint's independence +
+    maximality are pinned in tests."""
+    from linkgraph.operators.mis import maximal_independent_set
+
+    res = maximal_independent_set(
+        _user_transition_edges(spark, sf_dir), fixed_rounds=2
+    )
+    return res.select(F.col("node").alias("node_name"), "round")
+
+
 def q_sssp_r4(spark, sf_dir):
     """Four fixed Bellman-Ford relaxation rounds (operators/sssp.py) on
     the undirected per-user transition graph with cost = 1/transition
@@ -1064,6 +1079,18 @@ def q_eff_diameter(spark, sf_dir):
     edges = _bipartite_edges(spark, sf_dir)
     srcs = vertices(edges).orderBy("node").limit(4)
     return effective_diameter(edges, srcs, q=0.9, directed=False)
+
+
+def q_unigram_xent(spark, sf_dir):
+    """Per-document unigram cross-entropy against the corpus's own MLE
+    unigram model (textstats.unigram_xent) — the cheapest perplexity
+    proxy; averages of −ln p(token) are order-insensitive at 6 dp."""
+    from linkgraph.operators.textstats import unigram_xent
+
+    res = unigram_xent(_docs(spark, sf_dir))
+    return res.select(
+        F.col("id").alias("doc_id"), "n_tokens", F.round("xent", 6).alias("xent6")
+    )
 
 
 def q_len_percentiles(spark, sf_dir):
@@ -1388,7 +1415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eff_diameter": q_eff_diameter,
         "betweenness_k4": q_betweenness_k4,
         "sssp_r4": q_sssp_r4,
+        "mis_r2": q_mis_r2,
         "len_percentiles": q_len_percentiles,
+        "unigram_xent": q_unigram_xent,
         "top_bigrams": q_top_bigrams,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
@@ -1659,6 +1688,51 @@ def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
     """
 
 
+def _mis_unrolled_sql(rounds: int, seed: str = "mis") -> str:
+    """Luby MIS unrolled into ``rounds`` chained CTE rounds
+    (operators/mis.py semantics: priority md5(seed|round|node); winner iff
+    strictly below every active neighbor; winners + neighbors removed)."""
+    steps = []
+    wins = []
+    for r in range(rounds):
+        steps.append(f"""
+            p{r} AS (
+              SELECT node, md5('{seed}|{r}|' || node) AS p FROM a{r}
+            ),
+            nm{r} AS (
+              SELECT e.a AS node, min(p.p) AS np
+              FROM e{r} e JOIN p{r} p ON p.node = e.b GROUP BY e.a
+            ),
+            w{r} AS (
+              SELECT p{r}.node, {r} AS round
+              FROM p{r} LEFT JOIN nm{r} ON nm{r}.node = p{r}.node
+              WHERE nm{r}.np IS NULL OR p{r}.p < nm{r}.np
+            ),
+            rm{r} AS (
+              SELECT node FROM w{r}
+              UNION SELECT e.b FROM e{r} e JOIN w{r} w ON w.node = e.a
+            ),
+            a{r + 1} AS (
+              SELECT node FROM a{r}
+              WHERE node NOT IN (SELECT node FROM rm{r})
+            ),
+            e{r + 1} AS (
+              SELECT a, b FROM e{r}
+              WHERE a IN (SELECT node FROM a{r + 1})
+                AND b IN (SELECT node FROM a{r + 1})
+            )""")
+        wins.append(f"SELECT node, round FROM w{r}")
+    return f"""
+        WITH {_UTRANS_UND},
+        nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        a0 AS (SELECT node FROM nodes),
+        e0 AS (SELECT a, b FROM und),
+        {",".join(steps)}
+        SELECT node AS node_name, round
+        FROM ({" UNION ALL ".join(wins)})
+    """
+
+
 def _sssp_unrolled_sql(rounds: int) -> str:
     """Bellman-Ford unrolled into ``rounds`` chained CTE rounds over the
     undirected cost = 1/count per-user transition graph (operators/sssp.py
@@ -1902,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "randwalk_k3": _randwalk_unrolled_sql(3),
         "betweenness_k4": _betweenness_unrolled_sql(8, 4),
         "sssp_r4": _sssp_unrolled_sql(4),
+        "mis_r2": _mis_unrolled_sql(2),
         "knn_curve": f"""
             WITH {_UTRANS_UND},
             annd AS (
@@ -1912,6 +1987,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.deg, count(*) AS n_nodes, round(avg(annd.av), 8) AS knn8
             FROM deg d JOIN annd ON annd.node = d.node
             GROUP BY d.deg
+        """,
+        "unigram_xent": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, unnest(string_split({_DOC_NORM}, ' ')) AS tok
+              FROM documents
+            ),
+            freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT sum(c) AS total FROM freq),
+            p AS (SELECT tok, c * 1.0 / total AS p FROM freq CROSS JOIN tot)
+            SELECT t.id AS doc_id, count(*) AS n_tokens,
+                   round(avg(-ln(p.p)), 6) AS xent6
+            FROM toks t JOIN p ON p.tok = t.tok
+            GROUP BY t.id
         """,
         "len_percentiles": """
             SELECT lang, count(*) AS n,

@@ -251,3 +251,40 @@ def group_percentiles(
         for q in qs
     ]
     return df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
+
+
+def unigram_xent(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own MLE
+    unigram model: H(doc) = −(1/n_d) Σ_{t ∈ doc} ln p(t), with p(t) =
+    corpus count(t) / corpus tokens. The cheapest perplexity proxy — the
+    standard outlier/quality signal when no external LM is available
+    (high H = atypical vocabulary; CCNet-style pipelines use the same
+    shape with a trained KenLM). No smoothing needed: every scored token
+    exists in the corpus it was counted from, so p(t) > 0.
+    Returns [id, n_tokens, xent].
+
+    Plan: one posexplode-free explode to (doc, token), a map-side-
+    combinable corpus count per token (the only big shuffle — one row per
+    DISTINCT token afterwards), total via a window-free cross join of the
+    1-row sum, then join-back keyed on the token string and a per-doc avg.
+    At 100 TB the token-frequency table is vocabulary-sized — broadcast
+    material after the count."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(F.split(norm, " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    p = freq.crossJoin(total).select(
+        "tok", (F.col("c") / F.col("total")).alias("p")
+    )
+    return (
+        toks.join(p, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log("p")).alias("xent"),
+        )
+    )

@@ -552,3 +552,30 @@ def test_group_percentiles_vs_numpy(spark, docs):
         assert got[lang]["n"] == len(v)
         for q, c in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             assert abs(got[lang][c] - np.quantile(v, q)) < 1e-9
+
+
+def test_unigram_xent_hand_computed(spark):
+    import math
+
+    # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+    d = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in textstats.unigram_xent(d).collect()}
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 1
+    assert abs(got[1]["xent"] - (-math.log(0.75))) < 1e-12
+    assert abs(got[2]["xent"] - (-math.log(0.25))) < 1e-12
+    # the all-common-token doc is lower-entropy than the rare-token doc
+    assert got[1]["xent"] < got[2]["xent"]
+
+
+def test_unigram_xent_rare_vocab_scores_higher(spark, docs):
+    from pyspark.sql import functions as F
+
+    scored = textstats.unigram_xent(docs)
+    # the corpus's own docs: entropy bounded by ln(vocab), all positive
+    stats = scored.agg(
+        F.min("xent"), F.max("xent"), F.count("*")
+    ).first()
+    assert stats[2] == docs.count()
+    assert 0.0 < stats[0] <= stats[1]
