@@ -1013,6 +1013,38 @@ def q_harmonic_k4(spark, sf_dir):
     )
 
 
+def q_transitivity(spark, sf_dir):
+    """Global transitivity 3T/wedges on the per-user transition graph
+    (operators/structure.py transitivity)."""
+    from linkgraph.operators.structure import transitivity
+
+    res = transitivity(_user_transition_edges(spark, sf_dir))
+    return res.select(
+        "triangles", "wedges", F.round("transitivity", 8).alias("trans8")
+    )
+
+
+def q_powerlaw_alpha(spark, sf_dir):
+    """Clauset-Shalizi-Newman discrete MLE of the degree power-law
+    exponent (operators/structure.py powerlaw_alpha, d_min=2)."""
+    from linkgraph.operators.structure import powerlaw_alpha
+
+    res = powerlaw_alpha(_user_transition_edges(spark, sf_dir), d_min=2)
+    return res.select("n_tail", F.round("alpha", 8).alias("alpha8"))
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club curve phi(k) over every degree threshold
+    (operators/structure.py rich_club): one degree join + one tiny range
+    join, no per-threshold rescan."""
+    from linkgraph.operators.structure import rich_club
+
+    res = rich_club(_user_transition_edges(spark, sf_dir))
+    return res.select(
+        "k", "n_nodes", "n_edges", F.round("phi", 8).alias("phi8")
+    )
+
+
 def q_mis_r2(spark, sf_dir):
     """Two rounds of Luby's maximal-independent-set algorithm
     (operators/mis.py) with md5-keyed priorities on the per-user
@@ -1416,6 +1448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_k4": q_betweenness_k4,
         "sssp_r4": q_sssp_r4,
         "mis_r2": q_mis_r2,
+        "transitivity": q_transitivity,
+        "powerlaw_alpha": q_powerlaw_alpha,
+        "rich_club": q_rich_club,
         "len_percentiles": q_len_percentiles,
         "unigram_xent": q_unigram_xent,
         "top_bigrams": q_top_bigrams,
@@ -2101,6 +2136,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM und e WHERE e.a = c.a AND e.b = c.b
             )
+        """,
+        "transitivity": f"""
+            WITH {_UTRANS_UND},
+            tri AS (
+              SELECT count(*) AS t
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b AND e1.b < e2.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+              WHERE e1.a < e1.b
+            ),
+            wg AS (
+              SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS wedges
+              FROM deg
+            )
+            SELECT tri.t AS triangles, wg.wedges,
+                   round(CASE WHEN wg.wedges > 0
+                         THEN 3.0 * tri.t / wg.wedges END, 8) AS trans8
+            FROM tri CROSS JOIN wg
+        """,
+        "powerlaw_alpha": f"""
+            WITH {_UTRANS_UND}
+            SELECT count(*) AS n_tail,
+                   round(1.0 + count(*) / sum(ln(deg / 1.5)), 8) AS alpha8
+            FROM deg WHERE deg >= 2
+        """,
+        "rich_club": f"""
+            WITH {_UTRANS_UND},
+            emin AS (
+              SELECT least(da.deg, db.deg) AS dmin
+              FROM und u
+              JOIN deg da ON da.node = u.a
+              JOIN deg db ON db.node = u.b
+              WHERE u.a < u.b
+            ),
+            ks AS (SELECT DISTINCT deg AS k FROM deg),
+            ngt AS (
+              SELECT ks.k, count(*) AS n_nodes
+              FROM ks JOIN deg d ON d.deg > ks.k GROUP BY ks.k
+            ),
+            egt AS (
+              SELECT ks.k, count(*) AS n_edges
+              FROM ks JOIN emin e ON e.dmin > ks.k GROUP BY ks.k
+            )
+            SELECT n.k, n.n_nodes, coalesce(e.n_edges, 0) AS n_edges,
+                   round(2.0 * coalesce(e.n_edges, 0)
+                         / (n.n_nodes * (n.n_nodes - 1)), 8) AS phi8
+            FROM ngt n LEFT JOIN egt e ON e.k = n.k
+            WHERE n.n_nodes >= 2
         """,
         "reciprocity": f"""
             WITH raw AS ({_UTRANS}),

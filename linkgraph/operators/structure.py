@@ -243,3 +243,105 @@ def knn_curve(edges: DataFrame) -> DataFrame:
             F.avg("avg_nbr_deg").alias("knn"),
         )
     )
+
+
+def transitivity(edges: DataFrame) -> DataFrame:
+    """Global transitivity C = 3·triangles / wedges, where wedges =
+    Σ_v deg(v)·(deg(v)−1)/2 on the simple undirected graph (the
+    "global clustering coefficient" — corpus-level cousin of the
+    per-vertex lcc). Returns one row [triangles, wedges, transitivity];
+    NULL transitivity when the graph has no wedge.
+
+    Plan: degree aggregate (one shuffle) + the degree-ordered triangle
+    count (operators/triangles.py) + a final 1-row combine."""
+    from linkgraph.operators.triangles import triangles_per_vertex
+
+    deg = simple_degrees(edges)
+    wedges = deg.agg(
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("wedges")
+    )
+    # coalesce: sum over the empty per-vertex table (triangle-free graph)
+    # is NULL, but the count is genuinely 0
+    tri = triangles_per_vertex(edges).agg(
+        (F.coalesce(F.sum("triangles"), F.lit(0)) / 3).cast("long").alias("triangles")
+    )
+    return tri.crossJoin(wedges).select(
+        "triangles",
+        "wedges",
+        F.when(
+            F.col("wedges") > 0,
+            3.0 * F.col("triangles") / F.col("wedges"),
+        ).alias("transitivity"),
+    )
+
+
+def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
+    """Hill/Clauset MLE of the degree-distribution power-law exponent on
+    the simple undirected graph: α = 1 + n_tail / Σ_{deg ≥ d_min}
+    ln(deg / (d_min − 1/2)) (the discrete-data estimator of
+    Clauset-Shalizi-Newman, SIAM Rev. 2009, eq. 3.7). Returns one row
+    [n_tail, alpha]; NULL when no vertex reaches d_min.
+
+    One aggregate over the degree table — the standard scale-free-ness
+    probe for link graphs."""
+    deg = simple_degrees(edges).filter(F.col("deg") >= d_min)
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        (
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("deg") / (d_min - 0.5)))
+        ).alias("alpha"),
+    )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club curve φ(k) = 2·E_k / (N_k·(N_k−1)) for every degree
+    threshold k present in the graph, where N_k = #nodes with deg > k and
+    E_k = #edges with both ends above k (Zhou & Mondragón 2004). Returns
+    [k, n_nodes, n_edges, phi] for thresholds with N_k ≥ 2.
+
+    Plan: degrees joined onto the canonical a<b edge list once; the node
+    and edge tallies then reduce to per-threshold counts with one range
+    join over the DISTINCT degree values (tiny table) — no per-threshold
+    rescan of nodes or edges."""
+    deg = simple_degrees(edges)
+    und = symmetrize(edges).filter(F.col("src") < F.col("dst"))
+    e_min = (
+        und.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("da")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("db")), "dst")
+        .select(F.least("da", "db").alias("dmin"))
+    )
+    # thresholds = distinct degrees; counts above k via a tiny range join
+    ks = deg.select(F.col("deg").alias("k")).distinct()
+    node_cnt = deg.groupBy(F.col("deg").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # nodes with deg > k  = suffix count at key = k (strictly greater)
+    nodes_gt = (
+        ks.join(node_cnt, ks["k"] < node_cnt["key"])
+        .groupBy("k")
+        .agg(F.sum("c").alias("n_nodes"))
+    )
+    edge_cnt = e_min.groupBy(F.col("dmin").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    edges_gt = (
+        ks.join(edge_cnt, ks["k"] < edge_cnt["key"])
+        .groupBy("k")
+        .agg(F.sum("c").alias("n_edges"))
+    )
+    return (
+        nodes_gt.join(edges_gt, "k", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            (
+                2.0
+                * F.coalesce(F.col("n_edges"), F.lit(0))
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+            ).alias("phi"),
+        )
+    )

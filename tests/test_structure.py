@@ -215,6 +215,57 @@ def test_knn_curve_star_hand_computed(spark):
     assert rows[1]["n_nodes"] == 4 and rows[1]["knn"] == 4.0
 
 
+# ---------------- global metrics ----------------
+
+
+def test_transitivity_karate_vs_numpy(spark):
+    from linkgraph.operators.structure import transitivity
+
+    src, dst, n = fx.karate_club()
+    A = _adj(src, dst, n)
+    tri = int(np.trace(np.linalg.matrix_power(A, 3)) // 6)
+    deg = A.sum(axis=1)
+    wedges = int((deg * (deg - 1) // 2).sum())
+    r = transitivity(fx.edges_df(spark, src, dst)).first()
+    assert (r["triangles"], r["wedges"]) == (tri, wedges)
+    assert abs(r["transitivity"] - 3.0 * tri / wedges) < 1e-12
+    assert abs(r["transitivity"] - 0.2556818181818182) < 1e-12  # known value
+
+
+def test_transitivity_triangle_free_is_zero(spark):
+    from linkgraph.operators.structure import transitivity
+
+    src, dst, n = fx.two_components()  # two 5-cycles: wedges but no triangle
+    r = transitivity(fx.edges_df(spark, src, dst)).first()
+    assert r["triangles"] == 0 and r["transitivity"] == 0.0
+
+
+def test_powerlaw_alpha_hand_computed(spark):
+    import math
+
+    from linkgraph.operators.structure import powerlaw_alpha
+
+    # star 1..5 -> 0: hub deg 5, spokes deg 1; tail (d_min=2) = {hub}
+    r = powerlaw_alpha(
+        fx.edges_df(spark, [1, 2, 3, 4, 5], [0, 0, 0, 0, 0]), d_min=2
+    ).first()
+    assert r["n_tail"] == 1
+    assert abs(r["alpha"] - (1.0 + 1.0 / math.log(5 / 1.5))) < 1e-12
+
+
+def test_rich_club_hand_computed(spark):
+    from linkgraph.operators.structure import rich_club
+
+    # K3 on {0,1,2} (deg 2) + pendant 2-3 (node 2 deg 3, node 3 deg 1)
+    df = fx.edges_df(spark, [0, 0, 1, 2], [1, 2, 2, 3])
+    rows = {r["k"]: r for r in rich_club(df).collect()}
+    # k=1: nodes {0,1,2} (deg>1), edges among them = 3 -> phi = 1.0
+    assert (rows[1]["n_nodes"], rows[1]["n_edges"]) == (3, 3)
+    assert rows[1]["phi"] == 1.0
+    # k=2: only node 2 -> filtered (n_nodes < 2); k=3: none
+    assert set(rows) == {1}
+
+
 # ---------------- k-truss ----------------
 
 
