@@ -1013,6 +1013,30 @@ def q_harmonic_k4(spark, sf_dir):
     )
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embeddings table in long (label, dim)
+    form (operators/similarity.py label_centroids) — the embedding-table
+    profile, value-checked dimension by dimension."""
+    from linkgraph.operators.similarity import label_centroids
+
+    res = label_centroids(_emb(spark, sf_dir))
+    return res.select(
+        "label",
+        "n_vecs",
+        F.posexplode(F.col("centroid")).alias("dim", "cval"),
+    ).select("label", "n_vecs", "dim", F.round("cval", 6).alias("cent6"))
+
+
+def q_centroid_cosine(spark, sf_dir):
+    """Cosine of every embedding to its own label centroid
+    (operators/similarity.py centroid_cosines) — the embedding-coherence
+    / label-noise outlier signal."""
+    from linkgraph.operators.similarity import centroid_cosines
+
+    res = centroid_cosines(_emb(spark, sf_dir))
+    return res.select("vec_id", "label", F.round("cosine", 6).alias("cos6"))
+
+
 def q_transitivity(spark, sf_dir):
     """Global transitivity 3T/wedges on the per-user transition graph
     (operators/structure.py transitivity)."""
@@ -1449,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_r4": q_sssp_r4,
         "mis_r2": q_mis_r2,
         "transitivity": q_transitivity,
+        "label_centroids": q_label_centroids,
+        "centroid_cosine": q_centroid_cosine,
         "powerlaw_alpha": q_powerlaw_alpha,
         "rich_club": q_rich_club,
         "len_percentiles": q_len_percentiles,
@@ -2136,6 +2162,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM und e WHERE e.a = c.a AND e.b = c.b
             )
+        """,
+        "label_centroids": """
+            WITH dims AS (
+              SELECT label, i - 1 AS dim, embedding[i] AS x
+              FROM (
+                SELECT label, embedding,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings
+              )
+            ),
+            pd AS (
+              SELECT label, dim, avg(x) AS c, count(*) AS n
+              FROM dims GROUP BY label, dim
+            )
+            SELECT label, n AS n_vecs, CAST(dim AS INTEGER) AS dim,
+                   round(c, 6) AS cent6
+            FROM pd
+        """,
+        "centroid_cosine": """
+            WITH dims AS (
+              SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+              FROM (
+                SELECT vec_id, label, embedding,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings
+              )
+            ),
+            cent AS (
+              SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim
+            )
+            SELECT d.vec_id, d.label,
+                   round(sum(d.x * c.c)
+                         / (sqrt(sum(d.x * d.x)) * sqrt(sum(c.c * c.c))), 6)
+                     AS cos6
+            FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
+            GROUP BY d.vec_id, d.label
         """,
         "transitivity": f"""
             WITH {_UTRANS_UND},

@@ -329,3 +329,59 @@ def cosine_pairs_exact(
         .select("a", "b", _cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean vector — the embedding-table profile (cluster
+    centers of the labeled corpus). Returns [label, n_vecs, centroid]
+    with centroid ordered by dimension.
+
+    Plan: one posexplode to (label, dim, x), a partial+final avg keyed by
+    (label, dim) — the only big shuffle, pre-aggregated map-side — then an
+    array_sort(collect_list) reassembly per label (labels × dims rows by
+    then). The long (label, dim) form is what the DuckDB oracle checks."""
+    dims = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.avg("x").alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("centroid"),
+    )
+
+
+def centroid_cosines(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cosine of every vector to its own label's centroid — the standard
+    embedding-coherence / outlier signal (a low cosine marks a vector that
+    disagrees with its cluster; threshold it for label-noise pruning at
+    corpus scale). Returns [<id_col>, label, cosine].
+
+    Plan: centroids (tiny — one row per label) broadcast-joined onto the
+    embedding table, cosine via zip_with/aggregate JVM-side. One scan of
+    the big table, zero explodes on the big side."""
+    cents = label_centroids(embeddings, vec_col=vec_col, label_col=label_col)
+    e = embeddings.select(
+        F.col(id_col), F.col(label_col).alias("label"), F.col(vec_col).alias("v")
+    )
+    j = e.join(
+        F.broadcast(cents.select("label", F.col("centroid").alias("c"))), "label"
+    )
+    return j.select(
+        F.col(id_col),
+        "label",
+        _cosine(F.col("v").cast("array<double>"), F.col("c")).alias("cosine"),
+    )

@@ -579,3 +579,35 @@ def test_unigram_xent_rare_vocab_scores_higher(spark, docs):
     ).first()
     assert stats[2] == docs.count()
     assert 0.0 < stats[0] <= stats[1]
+
+
+def test_label_centroids_hand_computed(spark):
+    d = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [3.0, 2.0], 7),
+            (3, [0.0, 4.0], 8),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["label"]: r for r in similarity.label_centroids(d).collect()}
+    assert got[7]["n_vecs"] == 2 and got[8]["n_vecs"] == 1
+    assert [round(v, 9) for v in got[7]["centroid"]] == [2.0, 1.0]
+    assert [round(v, 9) for v in got[8]["centroid"]] == [0.0, 4.0]
+
+
+def test_centroid_cosines_vs_numpy(spark, emb):
+    got = {r["vec_id"]: r["cosine"] for r in similarity.centroid_cosines(emb).collect()}
+    ep = emb.toPandas()
+    M = np.stack(ep["embedding"].to_numpy()).astype(np.float64)
+    labels = ep["label"].to_numpy()
+    ids = ep["vec_id"].to_numpy()
+    for lab in np.unique(labels):
+        c = M[labels == lab].mean(axis=0)
+        for i in np.where(labels == lab)[0]:
+            v = M[i]
+            exp = float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+            assert abs(got[int(ids[i])] - exp) < 1e-6
+    # vectors correlate positively with their own cluster mean on average
+    # (the synthetic embeddings are weakly clustered: ~0.14 here)
+    assert np.mean([got[int(i)] for i in ids]) > 0.0
