@@ -1037,6 +1037,25 @@ def q_centroid_cosine(spark, sf_dir):
     return res.select("vec_id", "label", F.round("cosine", 6).alias("cos6"))
 
 
+def q_funnel3(spark, sf_dir):
+    """Three-step ordered funnel signup -> click -> purchase per user
+    (operators/sessions.py funnel): earliest greedy time-respecting match,
+    one actor-keyed shuffle, NULLs cascade. Timestamps emitted as epoch
+    millis for exact cross-engine comparison."""
+    from linkgraph.operators.sessions import funnel
+
+    res = funnel(_events(spark, sf_dir), ["signup", "click", "purchase"])
+    return res.select(
+        "user_id",
+        # parquet ts is TIMESTAMP_NTZ; the session tz is pinned to UTC so
+        # the cast is epoch-faithful and matches DuckDB's naive epoch_ms
+        F.unix_millis(F.col("ts_1").cast("timestamp")).alias("t1_ms"),
+        F.unix_millis(F.col("ts_2").cast("timestamp")).alias("t2_ms"),
+        F.unix_millis(F.col("ts_3").cast("timestamp")).alias("t3_ms"),
+        "steps_completed",
+    )
+
+
 def q_transitivity(spark, sf_dir):
     """Global transitivity 3T/wedges on the per-user transition graph
     (operators/structure.py transitivity)."""
@@ -1473,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_r4": q_sssp_r4,
         "mis_r2": q_mis_r2,
         "transitivity": q_transitivity,
+        "funnel3": q_funnel3,
         "label_centroids": q_label_centroids,
         "centroid_cosine": q_centroid_cosine,
         "powerlaw_alpha": q_powerlaw_alpha,
@@ -2162,6 +2182,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM und e WHERE e.a = c.a AND e.b = c.b
             )
+        """,
+        "funnel3": """
+            WITH base AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (
+              SELECT user_id, min(ts) AS ts_1 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS ts_2
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.ts_1
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS ts_3
+              FROM events e JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2
+              GROUP BY e.user_id
+            )
+            SELECT b.user_id,
+                   epoch_ms(s1.ts_1) AS t1_ms,
+                   epoch_ms(s2.ts_2) AS t2_ms,
+                   epoch_ms(s3.ts_3) AS t3_ms,
+                   (CASE WHEN s1.ts_1 IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN s2.ts_2 IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN s3.ts_3 IS NULL THEN 0 ELSE 1 END)
+                     AS steps_completed
+            FROM base b
+            LEFT JOIN s1 ON s1.user_id = b.user_id
+            LEFT JOIN s2 ON s2.user_id = b.user_id
+            LEFT JOIN s3 ON s3.user_id = b.user_id
         """,
         "label_centroids": """
             WITH dims AS (

@@ -59,3 +59,58 @@ def session_stats(
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    actor_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: for each actor, the earliest completion
+    time of each funnel step, where step i must occur strictly AFTER the
+    actor's chosen step i−1 occurrence (greedy earliest-first matching —
+    the standard product-analytics funnel; greedy-earliest is optimal for
+    existence: if any time-respecting match exists, the greedy one does).
+    Returns [<actor_col>, ts_1..ts_N, steps_completed].
+
+    Plan: one conditional min-aggregate per step over the SAME grouped
+    scan — N chained per-actor aggregates on an N-step funnel, each a
+    partial+final min keyed by the actor; no joins, no window sort. The
+    chain is expressed as N groupBy passes over the per-actor (type, ts)
+    pairs collected once — at 100 TB this is one shuffle on the actor key
+    plus per-group array work, the shape that survives skew via AQE."""
+    pairs = events.select(
+        F.col(actor_col).alias("actor"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    # one shuffle: all (type, ts) pairs per actor, sorted by ts
+    grouped = pairs.groupBy("actor").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "t"))).alias("evs")
+    )
+    # greedy scan inside the array: earliest step-i occurrence after the
+    # matched step-(i-1) time — pure Catalyst FILTER/element_at, no UDF
+    cur = grouped
+    ts_cols = []
+    for i, step in enumerate(steps, start=1):
+        # NULL upstream ts cascades: s.ts > NULL filters everything out.
+        # try_element_at: an unmatched step leaves an empty filter result,
+        # which must yield NULL, not an ANSI index error
+        hit = F.try_element_at(
+            F.expr(
+                f"filter(evs, s -> s.t = '{step}'"
+                + (f" and s.ts > ts_{i - 1}" if i > 1 else "")
+                + ")"
+            ),
+            F.lit(1),
+        )
+        cur = cur.withColumn(f"ts_{i}", hit["ts"])
+        ts_cols.append(f"ts_{i}")
+    done = sum((F.col(c).isNotNull()).cast("int") for c in ts_cols)
+    return cur.select(
+        F.col("actor").alias(actor_col),
+        *ts_cols,
+        done.alias("steps_completed"),
+    )

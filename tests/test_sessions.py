@@ -4,6 +4,7 @@ test_entry_contract.py)."""
 from datetime import datetime, timedelta
 
 from linkgraph.operators.sessions import session_stats, sessionize
+from pyspark.sql import functions as F
 
 
 def _ev(spark, rows):
@@ -44,3 +45,56 @@ def test_span_uses_sub_second_precision(spark):
     rows = [(1, 5, t0), (2, 5, t0 + timedelta(seconds=1, microseconds=500_000))]
     r = session_stats(_ev(spark, rows)).first()
     assert r["span_ms"] == 1500
+
+
+# ---------------- funnel ----------------
+
+
+def test_funnel_hand_computed(spark):
+    from linkgraph.operators.sessions import funnel
+
+    rows = [
+        # user 1 completes in order; the click BEFORE signup must not count
+        (1, "click", "2026-01-01 09:00:00"),
+        (1, "signup", "2026-01-01 10:00:00"),
+        (1, "click", "2026-01-01 11:00:00"),
+        (1, "purchase", "2026-01-01 12:00:00"),
+        # user 2: purchase before click -> stops at 2 steps
+        (2, "signup", "2026-01-01 08:00:00"),
+        (2, "purchase", "2026-01-01 08:30:00"),
+        (2, "click", "2026-01-01 09:00:00"),
+        # user 3: never signs up
+        (3, "click", "2026-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["user_id"]: r
+        for r in funnel(df, ["signup", "click", "purchase"]).collect()
+    }
+    assert got[1]["steps_completed"] == 3
+    assert str(got[1]["ts_2"]) == "2026-01-01 11:00:00"
+    assert got[2]["steps_completed"] == 2
+    assert got[2]["ts_3"] is None
+    assert got[3]["steps_completed"] == 0
+    assert got[3]["ts_1"] is None
+
+
+def test_funnel_greedy_earliest_is_existence_optimal(spark):
+    from linkgraph.operators.sessions import funnel
+
+    # signup@1, click@2, click@5, purchase@3: greedy click@2 lets
+    # purchase@3 match (a later click choice would miss it)
+    rows = [
+        (9, "signup", "2026-01-01 01:00:00"),
+        (9, "click", "2026-01-01 02:00:00"),
+        (9, "purchase", "2026-01-01 03:00:00"),
+        (9, "click", "2026-01-01 05:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = funnel(df, ["signup", "click", "purchase"]).first()
+    assert r["steps_completed"] == 3
+    assert str(r["ts_2"]) == "2026-01-01 02:00:00"
