@@ -1037,6 +1037,28 @@ def q_centroid_cosine(spark, sf_dir):
     return res.select("vec_id", "label", F.round("cosine", 6).alias("cos6"))
 
 
+def q_temporal_r3(spark, sf_dir):
+    """Three fixed earliest-arrival relaxation rounds over the
+    user↔event-type temporal contact graph (operators/temporal.py):
+    time-respecting paths only — static reachability over the same edges
+    would be wrong. Integer epoch-millis arithmetic end to end, so the
+    unrolled 3-round CTE oracle hash-matches exactly."""
+    from linkgraph.operators.temporal import (
+        bipartite_temporal_edges,
+        temporal_reachability,
+    )
+
+    te = bipartite_temporal_edges(_events(spark, sf_dir))
+    source = (
+        te.select(F.col("src").alias("node"))
+        .union(te.select("dst"))
+        .agg(F.min("node"))
+        .first()[0]
+    )
+    res = temporal_reachability(te, source, max_iter=3, check_convergence=False)
+    return res.arrivals.select(F.col("node").alias("node_name"), "arr")
+
+
 def q_funnel3(spark, sf_dir):
     """Three-step ordered funnel signup -> click -> purchase per user
     (operators/sessions.py funnel): earliest greedy time-respecting match,
@@ -1493,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_r2": q_mis_r2,
         "transitivity": q_transitivity,
         "funnel3": q_funnel3,
+        "temporal_r3": q_temporal_r3,
         "label_centroids": q_label_centroids,
         "centroid_cosine": q_centroid_cosine,
         "powerlaw_alpha": q_powerlaw_alpha,
@@ -1766,6 +1789,54 @@ def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
         ed0 AS (SELECT a, b FROM und0 WHERE a < b),
         {",".join(steps)}
         SELECT a AS node_a, b AS node_b FROM ed{rounds}
+    """
+
+
+def _temporal_unrolled_sql(rounds: int) -> str:
+    """Earliest-arrival relaxation unrolled into ``rounds`` chained CTE
+    rounds (operators/temporal.py semantics: candidate edges require
+    t >= current arrival; integer millis, exact)."""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+            c{i} AS (
+              SELECT te.dst AS node, min(te.t) AS cand
+              FROM te JOIN r{i} r ON te.src = r.node
+              WHERE r.arr IS NOT NULL AND te.t >= r.arr
+              GROUP BY te.dst
+            ),
+            r{i + 1} AS (
+              SELECT r.node,
+                     CASE WHEN r.arr IS NULL THEN c.cand
+                          WHEN c.cand IS NULL THEN r.arr
+                          ELSE least(r.arr, c.cand) END AS arr
+              FROM r{i} r LEFT JOIN c{i} c ON c.node = r.node
+            )""")
+    return f"""
+        WITH base AS (
+          SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+                 'e:' || event_type AS e,
+                 epoch_ms(ts) AS t
+          FROM events
+        ),
+        te AS (
+          SELECT u AS src, e AS dst, t FROM base
+          UNION ALL SELECT e, u, t FROM base
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM te UNION ALL SELECT dst FROM te
+          )
+        ),
+        s0 AS (SELECT min(node) AS s FROM nodes),
+        r0 AS (
+          SELECT node,
+                 CASE WHEN node = (SELECT s FROM s0)
+                      THEN CAST(0 AS BIGINT) END AS arr
+          FROM nodes
+        ),
+        {",".join(steps)}
+        SELECT node AS node_name, arr FROM r{rounds}
     """
 
 
@@ -2058,6 +2129,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_k4": _betweenness_unrolled_sql(8, 4),
         "sssp_r4": _sssp_unrolled_sql(4),
         "mis_r2": _mis_unrolled_sql(2),
+        "temporal_r3": _temporal_unrolled_sql(3),
         "knn_curve": f"""
             WITH {_UTRANS_UND},
             annd AS (
