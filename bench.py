@@ -75,7 +75,9 @@ def run() -> dict:
                  "hits_k3", "pagerank_w_k5", "ppr_k5", "clustering",
                  "adamic_adar", "ktruss_r2", "link_scores", "randwalk_k3",
                  "chunk_dedup", "knn_curve", "top_bigrams", "harmonic_k4",
-                 "eff_diameter", "betweenness_k4", "len_percentiles"]:
+                 "eff_diameter", "betweenness_k4", "len_percentiles",
+                 "sssp_r4", "mis_r2", "temporal_r3", "funnel3",
+                 "unigram_xent", "centroid_cosine", "transitivity"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()  # force full execution
         queries[name] = round(time.monotonic() - t0, 3)
