@@ -53,7 +53,10 @@ def read_transcript_stream(
 
 
 def _reply_edge_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    set_ttl: bool = True,
 ) -> Iterable[pd.DataFrame]:
     """Stateful per-conv_id reply-edge derivation. Emits one edge per turn
     t>=1: actor(t) -> actor(t-1) plus actor -> tool when tool is set —
@@ -102,7 +105,8 @@ def _reply_edge_fn(
         last_turn = int(pdf["turn_idx"].iloc[-1])
         last_actor = pdf["role"].iloc[-1]
     state.update((last_turn, last_actor))
-    state.setTimeoutDuration(3600 * 1000)
+    if set_ttl:
+        state.setTimeoutDuration(3600 * 1000)
     out = pd.concat(frames, ignore_index=True) if frames else None
     if out is not None and len(out):
         # xxhash64 keying happens downstream (JVM-side) — emit names here
@@ -111,17 +115,40 @@ def _reply_edge_fn(
         yield out
 
 
-def stream_reply_edges(transcripts: DataFrame) -> DataFrame:
-    """Streaming reply+tool edge derivation with per-conversation state."""
+def stream_reply_edges(
+    transcripts: DataFrame, state_ttl: bool = True
+) -> DataFrame:
+    """Streaming reply+tool edge derivation with per-conversation state.
+
+    ``state_ttl=True`` (default, continuous mode) arms a 1-hour
+    processing-time timer that garbage-collects idle conversations'
+    state. CAVEAT for drains: under ``Trigger.AvailableNow`` Spark keeps
+    the query alive scheduling empty microbatches until pending state
+    timers fire, so an available-now backfill over a TTL'd stream never
+    self-terminates inside the drain window — pass ``state_ttl=False``
+    for bounded catch-up jobs (state then lives until the checkpoint is
+    discarded, the right trade for a finite backfill)."""
+    if state_ttl:
+        fn, conf = _reply_edge_fn, GroupStateTimeout.ProcessingTimeTimeout
+
+        def _fn(key, pdfs, state):
+            return fn(key, pdfs, state, set_ttl=True)
+
+    else:
+        conf = GroupStateTimeout.NoTimeout
+
+        def _fn(key, pdfs, state):
+            return _reply_edge_fn(key, pdfs, state, set_ttl=False)
+
     derived = (
         transcripts.select("conv_id", "turn_idx", "role", "tool")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _reply_edge_fn,
+            _fn,
             outputStructType=_EDGE_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=conf,
         )
     )
     return derived.select(

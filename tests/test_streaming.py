@@ -17,6 +17,16 @@ def tdir(spark, tmp_path_factory):
     return p
 
 
+@pytest.fixture(autouse=True)
+def _no_leaked_streams(spark):
+    """A leaked StreamingQuery (e.g. a TTL-armed stateful availableNow
+    drain that keeps servicing timers) starves every later streaming
+    test — stop anything still active after each test."""
+    yield
+    for q in spark.streams.active:
+        q.stop()
+
+
 def _multiset(rows):
     out = {}
     for r in rows:
@@ -28,7 +38,7 @@ def _multiset(rows):
 def test_stream_matches_batch_edges(spark, tdir):
     stream = read_transcript_stream(spark, tdir)
     assert stream.isStreaming
-    edges = stream_reply_edges(stream)
+    edges = stream_reply_edges(stream, state_ttl=False)
     q = (
         edges.writeStream.format("memory")
         .queryName("edges_stream")
@@ -36,7 +46,7 @@ def test_stream_matches_batch_edges(spark, tdir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.sql("SELECT src_name, dst_name, src, dst FROM edges_stream").collect()
     want = derive_edges(spark.read.parquet(tdir)).collect()
     assert _multiset(got) == _multiset(want)
@@ -58,14 +68,14 @@ def test_stream_matches_batch_edges_gapped_turn_idx(spark, tmp_path):
     gapped.coalesce(1).write.parquet(p)
     stream = read_transcript_stream(spark, p)
     q = (
-        stream_reply_edges(stream)
+        stream_reply_edges(stream, state_ttl=False)
         .writeStream.format("memory")
         .queryName("edges_stream_gapped")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.sql("SELECT src_name, dst_name FROM edges_stream_gapped").collect()
     want = derive_edges(spark.read.parquet(p)).collect()
     assert _multiset(got) == _multiset(want)
@@ -83,7 +93,7 @@ def test_stream_edge_counts_rollup(spark, tdir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.sql(
         "SELECT src_name, dst_name, sum(weight) AS w FROM edge_counts GROUP BY 1, 2"
     ).collect()
@@ -122,11 +132,11 @@ def test_stream_in_degree_totals_incremental(spark, tmp_path):
     t1.coalesce(1).write.mode("append").parquet(src)
 
     def drain():
-        edges = stream_reply_edges(read_transcript_stream(spark, src))
+        edges = stream_reply_edges(read_transcript_stream(spark, src), state_ttl=False)
         q = stream_in_degree_totals(
             edges, table, ckpt, n_buckets=8, available_now=True
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300)
 
     drain()
     first = {r["dst"]: r["in_deg"] for r in read_degree_table(spark, table).collect()}
@@ -177,14 +187,14 @@ def test_stream_pagerank_maintenance(spark, tmp_path):
     os.makedirs(src)
 
     def drain():
-        edges = stream_reply_edges(read_transcript_stream(spark, src)).select("src", "dst")
+        edges = stream_reply_edges(read_transcript_stream(spark, src), state_ttl=False).select("src", "dst")
         q = stream_pagerank_maintenance(
             edges, work, ckpt, eps=1e-9, available_now=True
         )
-        # fail loudly on timeout: awaitTermination returns False quietly,
-        # and the subsequent read_rank_table error hides the real cause
-        # (observed once when the full suite ran alongside other sessions)
-        assert q.awaitTermination(540), "microbatch did not finish in 540s"
+        # state_ttl=False above makes the availableNow drain genuinely
+        # terminate (a TTL-armed stateful stream keeps servicing its 1h
+        # timers forever); fail loudly if it still hangs
+        assert q.awaitTermination(600), "microbatch did not finish in 600s"
 
     def batch_ranks():
         e = derive_edges(spark.read.parquet(src)).select("src", "dst")
