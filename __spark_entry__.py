@@ -1240,6 +1240,25 @@ def q_randwalk_k3(spark, sf_dir):
     )
 
 
+def q_wrandwalk_k3(spark, sf_dir):
+    """Three deterministic WEIGHTED random-walk steps on the reply-count-
+    weighted per-user transition graph (operators/walks.py
+    weighted_random_walks): next hop drawn from the exact w/W distribution
+    via a shared 48-bit md5 slice and integer cumulative-weight slots —
+    node2vec's first-order walk, reproducible and value-checkable."""
+    from linkgraph.operators.walks import weighted_random_walks
+
+    wedges = (
+        _user_transition_edges(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    res = weighted_random_walks(wedges, walk_len=3)
+    return res.select(
+        F.col("start").alias("start_node"), "step", F.col("node").alias("node_name")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (operators/asof.py — union + one window pass,
     no range-join explosion): each purchase event picks up the most recent
@@ -1507,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "ktruss_r2": q_ktruss_r2,
         "randwalk_k3": q_randwalk_k3,
+        "wrandwalk_k3": q_wrandwalk_k3,
         "knn_curve": q_knn_curve,
         "harmonic_k4": q_harmonic_k4,
         "eff_diameter": q_eff_diameter,
@@ -1930,6 +1950,46 @@ def _sssp_unrolled_sql(rounds: int) -> str:
     """
 
 
+def _wrandwalk_unrolled_sql(k: int, seed: str = "ww0") -> str:
+    """Weighted deterministic walks unrolled into k chained CTE steps
+    (operators/walks.py weighted_random_walks semantics): u = 48-bit md5
+    slice of (start|seed|step), pick the out-neighbor whose cumulative-
+    weight slot (ordered by dst) contains u mod total-out-weight. All
+    integers — exact cross-engine."""
+    steps = []
+    outs = ["SELECT start, 0 AS step, node FROM w0"]
+    for i in range(1, k + 1):
+        steps.append(f"""
+            w{i} AS (
+              SELECT start, dst AS node FROM (
+                SELECT wk.start, we.dst, we.w,
+                       sum(we.w) OVER (PARTITION BY wk.start ORDER BY we.dst
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(we.w) OVER (PARTITION BY wk.start) AS tot,
+                       ('0x' || substr(md5(wk.start || '|{seed}|{i}'), 1, 12))::BIGINT
+                         AS u
+                FROM w{i - 1} wk JOIN we ON we.src = wk.node
+              )
+              WHERE cum - w <= u % tot AND u % tot < cum
+            )""")
+        outs.append(f"SELECT start, {i} AS step, node FROM w{i}")
+    return f"""
+        WITH raw AS ({_UTRANS}),
+        we AS (
+          SELECT src, dst, count(*) AS w FROM raw GROUP BY src, dst
+        ),
+        starts AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM we UNION ALL SELECT dst FROM we
+          )
+        ),
+        w0 AS (SELECT node AS start, node AS node FROM starts),
+        {",".join(steps)},
+        walk AS ({" UNION ALL ".join(outs)})
+        SELECT start AS start_node, step, node AS node_name FROM walk
+    """
+
+
 def _betweenness_unrolled_sql(levels: int = 8, n_sources: int = 4) -> str:
     """Brandes betweenness unrolled into fixed-level CTEs
     (operators/betweenness.py semantics): forward levels f1..fL carry σ
@@ -2126,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_k5": _ppr_unrolled_sql(5),
         "ktruss_r2": _ktruss_unrolled_sql(5, 2),
         "randwalk_k3": _randwalk_unrolled_sql(3),
+        "wrandwalk_k3": _wrandwalk_unrolled_sql(3),
         "betweenness_k4": _betweenness_unrolled_sql(8, 4),
         "sssp_r4": _sssp_unrolled_sql(4),
         "mis_r2": _mis_unrolled_sql(2),

@@ -70,3 +70,71 @@ def random_walks(
         cur = hop.groupBy("start").agg(F.min_by("cand", "h").alias("node"))
         frames.append(cur.select("start", F.lit(i).alias("step"), "node"))
     return reduce(DataFrame.unionAll, frames)
+
+
+def weighted_random_walks(
+    wedges: DataFrame,
+    walk_len: int,
+    seed: str = "ww0",
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic WEIGHTED random walks: at each step the walk draws a
+    48-bit uniform integer u = int(md5(start|seed|step)[:12], 16) and picks
+    the out-neighbor whose cumulative-weight slot contains u mod W(node) —
+    exact integer arithmetic, so P(neighbor) = w / W precisely, and the
+    whole table is engine-portable (both Spark's conv() and DuckDB's
+    '0x'-cast parse the same hex slice). The first-order weighted walk
+    underneath node2vec/DeepWalk corpus generation, minus rand()'s
+    irreproducibility. ``wedges`` is [src, dst, w] with integer w > 0;
+    duplicate (src, dst) rows are combined by summing w.
+
+    Plan per step: frontier ⋈ weighted edges, one per-walk window pass
+    (ordered by dst for a canonical slot layout) selecting the single row
+    whose [cum−w, cum) interval contains the draw — shuffles keyed by the
+    walk, fan-out bounded by frontier out-degree, no driver state.
+    Returns [start, step, node]; dead ends stop early."""
+    if walk_len < 0:
+        raise ValueError("walk_len must be >= 0")
+    from pyspark.sql import Window as W
+
+    e = (
+        wedges.select("src", "dst", F.col("w").cast("long").alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    if starts is None:
+        starts = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    cur = starts.select(F.col("node").alias("start"), F.col("node").alias("node"))
+    frames = [cur.select("start", F.lit(0).alias("step"), "node")]
+    for i in range(1, walk_len + 1):
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("start"), F.lit(seed), F.lit(str(i)))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        slot_w = W.partitionBy("start").orderBy("dst").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        tot_w = W.partitionBy("start")
+        hop = (
+            cur.join(e, cur["node"] == e["src"])
+            .select("start", "dst", "w", u.alias("u"))
+            .withColumn("cum", F.sum("w").over(slot_w))
+            .withColumn("r", F.col("u") % F.sum("w").over(tot_w))
+        )
+        cur = (
+            hop.filter(
+                (F.col("cum") - F.col("w") <= F.col("r")) & (F.col("r") < F.col("cum"))
+            )
+            .select("start", F.col("dst").alias("node"))
+        )
+        frames.append(cur.select("start", F.lit(i).alias("step"), "node"))
+    return reduce(DataFrame.unionAll, frames)

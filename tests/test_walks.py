@@ -100,3 +100,84 @@ def test_walks_step_marginal_is_roughly_uniform(spark):
     assert set(hits) <= set(spokes)
     assert max(hits.values()) <= 12  # no spoke dominates (E=5 per spoke)
     assert len(hits) >= 3
+
+
+# ---------------- weighted walks ----------------
+
+
+def _wwalks_python(wedges, walk_len, seed="ww0"):
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for s, d, ww in wedges:
+        w[(s, d)] += ww
+    adj = {}
+    nodes = set()
+    for (s, d), ww in w.items():
+        adj.setdefault(s, []).append((d, ww))
+        nodes.update((s, d))
+    out = {}
+    for st in nodes:
+        cur = st
+        out[(st, 0)] = st
+        for i in range(1, walk_len + 1):
+            nbrs = sorted(adj.get(cur, []))
+            if not nbrs:
+                break
+            tot = sum(ww for _, ww in nbrs)
+            u = int(hashlib.md5(f"{st}|{seed}|{i}".encode()).hexdigest()[:12], 16)
+            r = u % tot
+            cum = 0
+            for d, ww in nbrs:
+                cum += ww
+                if r < cum:
+                    cur = d
+                    break
+            out[(st, i)] = cur
+    return out
+
+
+def test_weighted_walks_match_python_replica(spark):
+    from linkgraph.operators.walks import weighted_random_walks
+
+    src, dst, n = fx.karate_club()
+    wedges = [
+        (str(u), str(v), 1 + ((int(u) * 3 + int(v)) % 4))
+        for u, v in zip(src, dst)
+    ]
+    df = spark.createDataFrame(wedges, "src string, dst string, w long")
+    got = _collect(weighted_random_walks(df, walk_len=4))
+    assert got == _wwalks_python(wedges, 4)
+
+
+def test_weighted_walks_marginal_matches_weights(spark):
+    from linkgraph.operators.walks import weighted_random_walks
+
+    # hub -> a (w=1), hub -> b (w=3): across many walk families the draw
+    # frequencies must approximate 1:3 (deterministic given the seeds)
+    df = spark.createDataFrame(
+        [("h", "a", 1), ("h", "b", 3)], "src string, dst string, w long"
+    )
+    starts = spark.createDataFrame([("h",)], "node string")
+    hits = Counter()
+    for k in range(24):
+        got = _collect(weighted_random_walks(df, 1, seed=f"s{k}", starts=starts))
+        hits[got[("h", 1)]] += 1
+    assert hits["b"] > hits["a"]  # 3x weight must dominate
+    assert hits["a"] >= 1  # but the light edge still gets drawn
+
+
+def test_weighted_walks_deterministic_and_dup_edges_combined(spark):
+    from linkgraph.operators.walks import weighted_random_walks
+
+    # duplicate (src,dst) rows must combine: ("h","a",1)x2 == ("h","a",2)
+    d1 = spark.createDataFrame(
+        [("h", "a", 1), ("h", "a", 1), ("h", "b", 2)],
+        "src string, dst string, w long",
+    )
+    d2 = spark.createDataFrame(
+        [("h", "a", 2), ("h", "b", 2)], "src string, dst string, w long"
+    )
+    a = _collect(weighted_random_walks(d1, 2))
+    b = _collect(weighted_random_walks(d2.repartition(7), 2))
+    assert a == b
