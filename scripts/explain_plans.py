@@ -80,6 +80,19 @@ def main() -> None:
         "knn_curve": "degree-correlation curve: two hash joins of the degree "
         "table onto the symmetrized edge list + two partial+final aggregates; "
         "nothing wider than (node, deg) ever shuffles",
+        "funnel3": "ordered funnel: ONE actor-keyed shuffle "
+        "(collect_list+array_sort per actor), then chained filter/"
+        "try_element_at array scans inside one codegen stage — no joins, "
+        "no window sort",
+        "unigram_xent": "perplexity proxy: token explode -> map-side-"
+        "combinable corpus count (one row per DISTINCT token after), "
+        "1-row total cross join, join-back on the token, per-doc avg",
+        "len_percentiles": "exact percentile aggregate per language: "
+        "partial collection + final sort within each group, keyed shuffle "
+        "on lang only",
+        "label_centroids": "embedding centroids: posexplode to (label, "
+        "dim) -> partial+final avg (the only big shuffle) -> "
+        "collect_list reassembly over labels x dims rows",
     }
     sections = []
     for name, why in picks.items():
