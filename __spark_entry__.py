@@ -1125,6 +1125,50 @@ def q_mis_r2(spark, sf_dir):
     return res.select(F.col("node").alias("node_name"), "round")
 
 
+def q_coreness_r2(spark, sf_dir):
+    """Two h-index refinement rounds of the coreness fixpoint
+    (operators/coreness.py; Lu et al. 2016 — h_0 = degree,
+    h_{t+1}(v) = H-index of neighbor h values, converging to the core
+    number) on the per-user transition graph. The round body (neighbor
+    join + per-neighborhood rank window + max(least(rank, h)) aggregate)
+    is value-checked via a 2-round unrolled-CTE window oracle; the
+    fixpoint's equality with the independent k_core peel is pinned in
+    tests for every k."""
+    from linkgraph.operators.coreness import coreness
+
+    res = coreness(_user_transition_edges(spark, sf_dir), fixed_rounds=2)
+    return res.select(F.col("node").alias("node_name"), "h")
+
+
+def q_coloring_r2(spark, sf_dir):
+    """Two rounds of distributed greedy coloring (operators/coloring.py;
+    Jones-Plassmann round-synchronous variant with md5-keyed priorities —
+    local minima take the round index as color, only winners retire) on
+    the per-user transition graph, value-checked via a 2-round
+    unrolled-CTE oracle. The fixpoint's properness + totality are pinned
+    in tests."""
+    from linkgraph.operators.coloring import greedy_coloring
+
+    res = greedy_coloring(_user_transition_edges(spark, sf_dir), fixed_rounds=2)
+    return res.select(F.col("node").alias("node_name"), "color")
+
+
+def q_anf_curve(spark, sf_dir):
+    """HyperANF neighborhood-function curve (operators/anf.py; Boldi-
+    Rosa-Vigna WWW'11) over the undirected per-user transition graph:
+    per-vertex HLL register sketches of t-hop balls, max-merged along
+    edges once per round — the 100-TB-scale path for distance
+    distributions (one m-bytes-per-vertex shuffle per round vs n BFS
+    frontiers). xxhash64-register family -> no DuckDB twin (rows-only);
+    the propagation is value-checked against a numpy twin and the curve
+    accuracy-bounded vs exact BFS in tests/test_anf.py."""
+    from linkgraph.operators.anf import neighborhood_function
+
+    return neighborhood_function(
+        _user_transition_edges(spark, sf_dir), max_t=3
+    ).select("t", F.round("nf_est", 4).alias("nf_est4"))
+
+
 def q_sssp_r4(spark, sf_dir):
     """Four fixed Bellman-Ford relaxation rounds (operators/sssp.py) on
     the undirected per-user transition graph with cost = 1/transition
@@ -1533,6 +1577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_k4": q_betweenness_k4,
         "sssp_r4": q_sssp_r4,
         "mis_r2": q_mis_r2,
+        "coreness_r2": q_coreness_r2,
+        "coloring_r2": q_coloring_r2,
+        "anf_curve": q_anf_curve,
         "transitivity": q_transitivity,
         "funnel3": q_funnel3,
         "temporal_r3": q_temporal_r3,
@@ -1905,6 +1952,86 @@ def _mis_unrolled_sql(rounds: int, seed: str = "mis") -> str:
     """
 
 
+def _coloring_unrolled_sql(rounds: int, seed: str = "color") -> str:
+    """Greedy-coloring rounds unrolled into chained CTEs
+    (operators/coloring.py semantics: priority md5(seed|round|node);
+    local minimum takes color = round; ONLY winners leave the active
+    set — the one-line difference vs _mis_unrolled_sql's rm CTE)."""
+    steps = []
+    wins = []
+    for r in range(rounds):
+        steps.append(f"""
+            p{r} AS (
+              SELECT node, md5('{seed}|{r}|' || node) AS p FROM a{r}
+            ),
+            nm{r} AS (
+              SELECT e.a AS node, min(p.p) AS np
+              FROM e{r} e JOIN p{r} p ON p.node = e.b GROUP BY e.a
+            ),
+            w{r} AS (
+              SELECT p{r}.node, {r} AS color
+              FROM p{r} LEFT JOIN nm{r} ON nm{r}.node = p{r}.node
+              WHERE nm{r}.np IS NULL OR p{r}.p < nm{r}.np
+            ),
+            a{r + 1} AS (
+              SELECT node FROM a{r}
+              WHERE node NOT IN (SELECT node FROM w{r})
+            ),
+            e{r + 1} AS (
+              SELECT a, b FROM e{r}
+              WHERE a IN (SELECT node FROM a{r + 1})
+                AND b IN (SELECT node FROM a{r + 1})
+            )""")
+        wins.append(f"SELECT node, color FROM w{r}")
+    return f"""
+        WITH {_UTRANS_UND},
+        nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        a0 AS (SELECT node FROM nodes),
+        e0 AS (SELECT a, b FROM und),
+        {",".join(steps)}
+        SELECT node AS node_name, color
+        FROM ({" UNION ALL ".join(wins)})
+    """
+
+
+def _coreness_unrolled_sql(rounds: int) -> str:
+    """h-index refinement rounds unrolled into chained CTEs
+    (operators/coreness.py semantics: h0 = simple-graph degree (0 for
+    isolated); h' = max over desc-ranked neighbor h of least(rank, h) —
+    row_number tie order is value-irrelevant because min(rank, x) over a
+    ranked multiset depends only on the sorted values)."""
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+            j{r} AS (
+              SELECT u.a AS node, h.h AS nh
+              FROM und u JOIN h{r} h ON h.node = u.b
+            ),
+            rk{r} AS (
+              SELECT node, nh,
+                     row_number() OVER (PARTITION BY node ORDER BY nh DESC)
+                       AS rk
+              FROM j{r}
+            ),
+            up{r} AS (
+              SELECT node, max(least(rk, nh)) AS h FROM rk{r} GROUP BY node
+            ),
+            h{r + 1} AS (
+              SELECT h.node, coalesce(u.h, h.h) AS h
+              FROM h{r} h LEFT JOIN up{r} u ON u.node = h.node
+            )""")
+    return f"""
+        WITH {_UTRANS_UND},
+        nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        h0 AS (
+          SELECT n.node, coalesce(d.deg, 0) AS h
+          FROM nodes n LEFT JOIN deg d ON d.node = n.node
+        ),
+        {",".join(steps)}
+        SELECT node AS node_name, h FROM h{rounds}
+    """
+
+
 def _sssp_unrolled_sql(rounds: int) -> str:
     """Bellman-Ford unrolled into ``rounds`` chained CTE rounds over the
     undirected cost = 1/count per-user transition graph (operators/sssp.py
@@ -2190,6 +2317,8 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_k4": _betweenness_unrolled_sql(8, 4),
         "sssp_r4": _sssp_unrolled_sql(4),
         "mis_r2": _mis_unrolled_sql(2),
+        "coreness_r2": _coreness_unrolled_sql(2),
+        "coloring_r2": _coloring_unrolled_sql(2),
         "temporal_r3": _temporal_unrolled_sql(3),
         "knn_curve": f"""
             WITH {_UTRANS_UND},

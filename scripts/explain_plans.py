@@ -93,6 +93,17 @@ def main() -> None:
         "label_centroids": "embedding centroids: posexplode to (label, "
         "dim) -> partial+final avg (the only big shuffle) -> "
         "collect_list reassembly over labels x dims rows",
+        "coreness_r2": "h-index round: neighbor equi-join (vertex-keyed "
+        "shuffle) -> per-neighborhood window row_number (partition = one "
+        "vertex's neighbor list, never a global sort) -> partial+final "
+        "max agg; one O(m) exchange per round like a PageRank step",
+        "coloring_r2": "coloring round: md5 priorities computed inline "
+        "(no UDF), min-neighbor agg + left join tournament; active set "
+        "shrinks monotonically so each round's scan is smaller",
+        "anf_curve": "HyperANF round: ONE vertex-keyed shuffle moving "
+        "the m-register sketch arrays; per-register max as 64 plain "
+        "codegen'd aggregates; estimator is an F.aggregate fold — no "
+        "Python anywhere",
     }
     sections = []
     for name, why in picks.items():
