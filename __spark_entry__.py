@@ -1153,6 +1153,24 @@ def q_coloring_r2(spark, sf_dir):
     return res.select(F.col("node").alias("node_name"), "color")
 
 
+def q_katz_k4(spark, sf_dir):
+    """Four Katz-centrality iterations (operators/katz.py — x = beta*1 +
+    alpha*A^T x, walk sums up to length 4 exactly) on the per-user
+    transition multigraph (parallel transitions sum to count weights,
+    matching the SQL twin's count(*)). Pure linear recurrence -> the loop
+    BODY is value-checked by a 4-round unrolled-CTE oracle; the fixpoint
+    identity x = beta + alpha*A^T x is pinned in tests."""
+    from linkgraph.operators.katz import katz_centrality
+
+    res = katz_centrality(
+        _user_transition_edges(spark, sf_dir),
+        alpha=0.05, max_iter=4, check_convergence=False,
+    )
+    return res.scores.select(
+        F.col("node").alias("node_name"), F.round("katz", 8).alias("katz8")
+    )
+
+
 def q_anf_curve(spark, sf_dir):
     """HyperANF neighborhood-function curve (operators/anf.py; Boldi-
     Rosa-Vigna WWW'11) over the undirected per-user transition graph:
@@ -1578,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_r4": q_sssp_r4,
         "mis_r2": q_mis_r2,
         "coreness_r2": q_coreness_r2,
+        "katz_k4": q_katz_k4,
         "coloring_r2": q_coloring_r2,
         "anf_curve": q_anf_curve,
         "transitivity": q_transitivity,
@@ -1952,6 +1971,35 @@ def _mis_unrolled_sql(rounds: int, seed: str = "mis") -> str:
     """
 
 
+def _katz_unrolled_sql(rounds: int, alpha: float = 0.05) -> str:
+    """Katz iterations unrolled into chained CTEs (operators/katz.py
+    semantics: x0 = beta=1; x' = 1 + alpha * weighted in-sum; parallel
+    edges collapse to count weights)."""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+            c{i} AS (
+              SELECT we.dst AS node, sum(x.x * we.w) AS c
+              FROM we JOIN x{i} x ON x.node = we.src
+              GROUP BY we.dst
+            ),
+            x{i + 1} AS (
+              SELECT n.node, 1.0 + {alpha} * coalesce(c.c, 0.0) AS x
+              FROM x{i} n LEFT JOIN c{i} c ON c.node = n.node
+            )""")
+    return f"""
+        WITH raw AS ({_UTRANS}),
+        we AS (
+          SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM raw GROUP BY src, dst
+        ),
+        nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        x0 AS (SELECT node, 1.0 AS x FROM nodes),
+        {",".join(steps)}
+        SELECT node AS node_name, round(x, 8) AS katz8 FROM x{rounds}
+    """
+
+
 def _coloring_unrolled_sql(rounds: int, seed: str = "color") -> str:
     """Greedy-coloring rounds unrolled into chained CTEs
     (operators/coloring.py semantics: priority md5(seed|round|node);
@@ -2318,6 +2366,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_r4": _sssp_unrolled_sql(4),
         "mis_r2": _mis_unrolled_sql(2),
         "coreness_r2": _coreness_unrolled_sql(2),
+        "katz_k4": _katz_unrolled_sql(4),
         "coloring_r2": _coloring_unrolled_sql(2),
         "temporal_r3": _temporal_unrolled_sql(3),
         "knn_curve": f"""
