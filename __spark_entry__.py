@@ -1153,6 +1153,28 @@ def q_coloring_r2(spark, sf_dir):
     return res.select(F.col("node").alias("node_name"), "color")
 
 
+def q_modularity(spark, sf_dir):
+    """Newman-Girvan modularity per community (operators/structure.py
+    modularity_by_label) of a deterministic 16-way md5-prefix partition
+    of the per-user transition graph — label joins + label-keyed
+    aggregates only, no wedge join. Value-checked against a DuckDB twin
+    computing the identical community-summed form; extremes +
+    networkx-parity pinned in tests."""
+    from linkgraph.operators.degrees import vertices
+    from linkgraph.operators.structure import modularity_by_label
+
+    e = _user_transition_edges(spark, sf_dir)
+    labels = vertices(e).select(
+        "node", F.substring(F.md5(F.col("node")), 1, 1).alias("label")
+    )
+    return modularity_by_label(e, labels).select(
+        "label",
+        "intra_edges",
+        "deg_sum",
+        F.round("contrib", 8).alias("contrib8"),
+    )
+
+
 def q_katz_k4(spark, sf_dir):
     """Four Katz-centrality iterations (operators/katz.py — x = beta*1 +
     alpha*A^T x, walk sums up to length 4 exactly) on the per-user
@@ -1597,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_r2": q_mis_r2,
         "coreness_r2": q_coreness_r2,
         "katz_k4": q_katz_k4,
+        "modularity": q_modularity,
         "coloring_r2": q_coloring_r2,
         "anf_curve": q_anf_curve,
         "transitivity": q_transitivity,
@@ -2367,6 +2390,34 @@ def oracle_sql() -> dict[str, str]:
         "mis_r2": _mis_unrolled_sql(2),
         "coreness_r2": _coreness_unrolled_sql(2),
         "katz_k4": _katz_unrolled_sql(4),
+        "modularity": f"""
+            WITH {_UTRANS_UND},
+            nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+            lab AS (SELECT node, substr(md5(node), 1, 1) AS label FROM nodes),
+            mm AS (SELECT count(*) / 2.0 AS m FROM und),
+            intra AS (
+              SELECT l1.label, CAST(count(*) / 2 AS BIGINT) AS intra_edges
+              FROM und u
+              JOIN lab l1 ON l1.node = u.a
+              JOIN lab l2 ON l2.node = u.b
+              WHERE l1.label = l2.label
+              GROUP BY l1.label
+            ),
+            degc AS (
+              SELECT lab.label, sum(deg.deg) AS deg_sum
+              FROM deg JOIN lab ON lab.node = deg.node
+              GROUP BY lab.label
+            )
+            SELECT degc.label,
+                   coalesce(intra.intra_edges, 0) AS intra_edges,
+                   degc.deg_sum,
+                   round(
+                     coalesce(intra.intra_edges, 0) / mm.m
+                     - pow(degc.deg_sum / (2.0 * mm.m), 2), 8
+                   ) AS contrib8
+            FROM degc LEFT JOIN intra ON intra.label = degc.label
+            CROSS JOIN mm
+        """,
         "coloring_r2": _coloring_unrolled_sql(2),
         "temporal_r3": _temporal_unrolled_sql(3),
         "knn_curve": f"""

@@ -124,9 +124,39 @@ def connected_components_twophase(edges: DataFrame, max_iter: int = 50) -> Compo
     return ComponentsResult(components=comp, iterations=it, iter_metrics=metrics)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 100) -> ComponentsResult:
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 100,
+    init_labels: DataFrame | None = None,
+) -> ComponentsResult:
+    """``init_labels`` (optional [node, component]) warm-starts the
+    min-label propagation — e.g. the previous snapshot when the edge
+    table grew by a microbatch (streaming/components.py). Correctness is
+    init-independent: the fixpoint is min over each (new) component of
+    the init labels, and with previous component ids (each the min node
+    id of an old component now contained in the new one) that min IS the
+    new component's min node id — identical to a cold run, just fewer
+    rounds (labels inside unmerged components are already uniform).
+    Vertices absent from ``init_labels`` start at their own id."""
     sym = symmetrize(edges).persist()
-    labels = vertices(edges).select("node", F.col("node").alias("component")).persist()
+    labels = vertices(edges).select("node", F.col("node").alias("component"))
+    if init_labels is not None:
+        labels = (
+            labels.join(
+                init_labels.select("node", F.col("component").alias("prev")),
+                "node",
+                "left",
+            )
+            # least(): a stale/foreign init can only lower toward the true
+            # min, never raise above the vertex's own id
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("prev", F.col("component"))
+                ).alias("component"),
+            )
+        )
+    labels = labels.persist()
     sym.count()
 
     metrics: list[dict] = []

@@ -345,3 +345,64 @@ def rich_club(edges: DataFrame) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+def modularity_by_label(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex partition, reported per community:
+    [label, intra_edges, deg_sum, contrib] where
+
+        contrib(c) = intra_c / m  -  (deg_c / (2m))^2
+
+    and Q = Σ_c contrib(c) (Newman & Girvan, "Finding and evaluating
+    community structure in networks", Phys. Rev. E 69, 2004 — the
+    community-summed form). Graph semantics: simple undirected (self-loops
+    dropped, parallel edges collapsed), m = undirected edge count;
+    ``labels`` is [node, label] covering every endpoint (unlabeled
+    endpoints raise on the inner join by dropping edges — callers pass a
+    total labeling, e.g. LPA/components output or a hash bucketing).
+
+    Plan: label both endpoints of the symmetrized edge set (two
+    vertex-keyed hash joins — broadcast when the labeling is small), one
+    label-keyed aggregate for intra counts, one for community degree sums,
+    and a 1-row m combine — no wedge joins, scale-safe at any community
+    count."""
+    sym = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    lab = labels.select("node", "label")
+    both = (
+        sym.join(lab.withColumnRenamed("node", "src").withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "ld"), "dst")
+    )
+    # sym holds each undirected edge twice -> intra pairs / 2
+    intra = (
+        both.filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("intra_edges"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    degc = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("deg_sum"))
+    )
+    m_row = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
+    sym.unpersist()
+    return (
+        degc.join(intra, "label", "left")
+        .crossJoin(m_row)
+        .select(
+            "label",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            "deg_sum",
+            (
+                F.coalesce("intra_edges", F.lit(0)) / F.col("m")
+                - F.pow(F.col("deg_sum") / (2.0 * F.col("m")), 2)
+            ).alias("contrib"),
+        )
+    )

@@ -8,6 +8,11 @@ from linkgraph.streaming.hubs import (  # noqa: F401
     stream_in_degree_totals,
     top_hubs_snapshot,
 )
+from linkgraph.streaming.components import (  # noqa: F401
+    components_log,
+    read_component_table,
+    stream_components_maintenance,
+)
 from linkgraph.streaming.rank import (  # noqa: F401
     rank_maintenance_log,
     read_rank_table,

@@ -34,67 +34,12 @@ stream's trigger interval) is the freshness/cost knob.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+from linkgraph.streaming.manifest import read_manifest, write_manifest
 
 EDGE_SCHEMA = "src long, dst long"
 RANK_SCHEMA = "node long, rank double"
-
-
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
-
-
-def _write_manifest(spark: SparkSession, ranks_root: str, epoch_id: int, body: dict):
-    """Commit a snapshot: write manifest-<epoch>.tmp, fs.rename to its
-    final name (atomic visibility), reap manifests/snapshots older than the
-    previous epoch."""
-    fs, root, jvm = _fs(spark, ranks_root)
-    tmp = jvm.org.apache.hadoop.fs.Path(root, f"manifest-{epoch_id}.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(root, f"manifest-{epoch_id}.json")
-    out = fs.create(tmp, True)
-    out.write(bytearray(json.dumps(body).encode()))
-    out.close()
-    fs.delete(final, False)  # replayed epoch: re-promote idempotently
-    if not fs.rename(tmp, final):
-        raise IOError(f"manifest promote failed: {tmp} -> {final}")
-    epochs = sorted(_list_epochs(spark, ranks_root))
-    for e in epochs[:-2]:  # keep current + previous
-        fs.delete(jvm.org.apache.hadoop.fs.Path(root, f"manifest-{e}.json"), False)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(root, f"snap={e}"), True)
-
-
-def _list_epochs(spark: SparkSession, ranks_root: str) -> list[int]:
-    fs, root, _ = _fs(spark, ranks_root)
-    if not fs.exists(root):
-        return []
-    out = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith("manifest-") and name.endswith(".json"):
-            out.append(int(name[len("manifest-"):-len(".json")]))
-    return out
-
-
-def _read_manifest(spark: SparkSession, ranks_root: str) -> dict | None:
-    epochs = _list_epochs(spark, ranks_root)
-    if not epochs:
-        return None
-    fs, _, jvm = _fs(spark, ranks_root)
-    p = jvm.org.apache.hadoop.fs.Path(ranks_root, f"manifest-{max(epochs)}.json")
-    stream = fs.open(p)
-    try:
-        # commons-io ships with Spark; py4j can't fill a Python bytearray
-        # through InputStream.read(byte[]) (arrays pass by value), so the
-        # whole read happens JVM-side
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(text)
 
 
 def stream_pagerank_maintenance(
@@ -130,7 +75,7 @@ def stream_pagerank_maintenance(
         full = spark.read.schema(EDGE_SCHEMA).option("basePath", edges_root).parquet(
             f"{edges_root}/epoch=*"
         ).select("src", "dst")
-        prev = _read_manifest(spark, ranks_root)
+        prev = read_manifest(spark, ranks_root)
         warm = (
             spark.read.schema(RANK_SCHEMA).parquet(prev["path"])
             if prev is not None
@@ -143,7 +88,7 @@ def stream_pagerank_maintenance(
         # the loop's persisted state was already materialized by its own
         # actions, so this write re-reads nothing the overwrite touches
         res.ranks.write.mode("overwrite").parquet(snap_path)
-        _write_manifest(
+        write_manifest(
             spark,
             ranks_root,
             epoch_id,
@@ -169,7 +114,7 @@ def stream_pagerank_maintenance(
 
 def read_rank_table(spark: SparkSession, work_dir: str) -> DataFrame:
     """[node, rank] — the latest committed snapshot."""
-    m = _read_manifest(spark, f"{work_dir}/ranks")
+    m = read_manifest(spark, f"{work_dir}/ranks")
     if m is None:
         raise FileNotFoundError(f"no committed rank snapshot under {work_dir}")
     return spark.read.schema(RANK_SCHEMA).parquet(m["path"])
@@ -178,4 +123,4 @@ def read_rank_table(spark: SparkSession, work_dir: str) -> DataFrame:
 def rank_maintenance_log(spark: SparkSession, work_dir: str) -> dict | None:
     """The latest commit record (epoch, iterations-to-converge from the
     warm start, norm, converged) — how cheap maintenance was."""
-    return _read_manifest(spark, f"{work_dir}/ranks")
+    return read_manifest(spark, f"{work_dir}/ranks")

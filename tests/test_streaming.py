@@ -224,3 +224,81 @@ def test_stream_pagerank_maintenance(spark, tmp_path):
     assert log2["converged"] and log2["warm_start"]
     # the warm start is the point: never MORE iterations than cold
     assert log2["iterations"] <= cold.iterations
+
+
+def test_stream_components_maintenance(spark, tmp_path):
+    """Streaming component maintenance: drain two edge drops through one
+    checkpoint; after each drain the maintained labeling must EXACTLY
+    equal a cold batch connected_components on everything seen (label =
+    min node id — warm start changes rounds, never the fixpoint), and
+    the second drain must record a warm start converging in no more
+    rounds than the cold run."""
+    from linkgraph.operators.components import connected_components
+    from linkgraph.streaming import (
+        components_log,
+        read_component_table,
+        stream_components_maintenance,
+    )
+
+    src = str(tmp_path / "transcripts")
+    work = str(tmp_path / "comp_work")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain():
+        edges = stream_reply_edges(
+            read_transcript_stream(spark, src), state_ttl=False
+        ).select("src", "dst")
+        q = stream_components_maintenance(edges, work, ckpt, available_now=True)
+        assert q.awaitTermination(600), "microbatch did not finish in 600s"
+
+    def batch_labels():
+        e = derive_edges(spark.read.parquet(src)).select("src", "dst")
+        return connected_components(e)
+
+    t1 = generate_transcripts(spark, n_convs=60, seed=3)
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got1 = {r["node"]: r["component"] for r in read_component_table(spark, work).collect()}
+    want1 = {r["node"]: r["component"] for r in batch_labels().components.collect()}
+    assert got1 == want1
+    log1 = components_log(spark, work)
+    assert not log1["warm_start"]
+
+    t2 = generate_transcripts(spark, n_convs=40, seed=9).withColumn(
+        "conv_id", F.concat(F.lit("r2-"), F.col("conv_id"))
+    )
+    t2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got2 = {r["node"]: r["component"] for r in read_component_table(spark, work).collect()}
+    cold = batch_labels()
+    want2 = {r["node"]: r["component"] for r in cold.components.collect()}
+    assert got2 == want2
+    log2 = components_log(spark, work)
+    assert log2["warm_start"]
+    assert log2["iterations"] <= cold.iterations
+
+
+def test_components_warm_start_batch_equivalence(spark):
+    """connected_components(init_labels=...) — the hook itself: warm
+    start from a PREFIX graph's labeling equals the cold fixpoint on the
+    full graph, and foreign/missing nodes are handled (new vertices
+    start at their own id)."""
+    from linkgraph.operators.components import connected_components
+
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    prev = connected_components(e1).components
+    # a bridge merges the two components; plus a brand-new pair (20, 21)
+    e2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 10), (20, 21)], "src long, dst long"
+    )
+    warm = connected_components(e2, init_labels=prev)
+    cold = connected_components(e2)
+    gw = {r["node"]: r["component"] for r in warm.components.collect()}
+    gc = {r["node"]: r["component"] for r in cold.components.collect()}
+    assert gw == gc
+    assert gw[20] == 20 and gw[21] == 20
+    assert gw[3] == 1 and gw[11] == 1
+    assert warm.iterations <= cold.iterations

@@ -316,3 +316,56 @@ def test_ktruss_2truss_is_all_edges_with_support(spark):
     rows = {(r["a"], r["b"]): r["support"] for r in k_truss(df, 2).collect()}
     # simple undirected edges of multi_edge: 01, 02, 12 — a triangle
     assert rows == {(0, 1): 1, (0, 2): 1, (1, 2): 1}
+
+
+# ---- modularity (Newman-Girvan, community-summed form) ----
+
+def test_modularity_matches_networkx_or_formula(spark):
+    from linkgraph.operators.structure import modularity_by_label
+
+    src, dst, n = fx.karate_club()
+    e = fx.edges_df(spark, src, dst)
+    # the historical two-faction split of the club
+    faction1 = {0, 1, 2, 3, 4, 5, 6, 7, 10, 11, 12, 13, 16, 17, 19, 21}
+    labels = spark.createDataFrame(
+        [(v, 1 if v in faction1 else 2) for v in range(n)], "node long, label int"
+    )
+    rows = modularity_by_label(e, labels).collect()
+    q = sum(r["contrib"] for r in rows)
+    # formula replica
+    und = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    m = len(und)
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    lab = {v: (1 if v in faction1 else 2) for v in range(n)}
+    want = 0.0
+    for c in (1, 2):
+        intra = sum(1 for a, b in und if lab[a] == c and lab[b] == c)
+        degc = sum(d for v, d in deg.items() if lab[v] == c)
+        want += intra / m - (degc / (2 * m)) ** 2
+    assert q == pytest.approx(want, abs=1e-12)
+    assert 0.3 < q < 0.45  # the known ~0.36 for the faction split
+    nx = pytest.importorskip("networkx")
+    G = nx.Graph(list(und))
+    want_nx = nx.community.modularity(
+        G, [set(v for v in lab if lab[v] == c) for c in (1, 2)]
+    )
+    assert q == pytest.approx(want_nx, abs=1e-9)
+
+
+def test_modularity_extremes(spark):
+    from linkgraph.operators.structure import modularity_by_label
+
+    src, dst, n = fx.karate_club()
+    e = fx.edges_df(spark, src, dst)
+    # one community: Q = 1 - 1 = 0 exactly
+    one = spark.createDataFrame([(v, 0) for v in range(n)], "node long, label int")
+    rows = modularity_by_label(e, one).collect()
+    assert len(rows) == 1
+    assert rows[0]["contrib"] == pytest.approx(0.0, abs=1e-12)
+    # singleton communities: no intra edges, Q < 0
+    sing = spark.createDataFrame([(v, v) for v in range(n)], "node long, label long")
+    q = sum(r["contrib"] for r in modularity_by_label(e, sing).collect())
+    assert q < 0
