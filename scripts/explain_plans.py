@@ -104,6 +104,13 @@ def main() -> None:
         "the m-register sketch arrays; per-register max as 64 plain "
         "codegen'd aggregates; estimator is an F.aggregate fold — no "
         "Python anywhere",
+        "katz_k4": "Katz iteration: equi-join gather + dst-keyed "
+        "partial+final sum (map-side combine absorbs in-hub skew) + "
+        "left join back onto the vertex set — the PageRank-step shape "
+        "minus dangling bookkeeping",
+        "modularity": "modularity: two label joins on the symmetric "
+        "edge set + label-keyed aggregates + 1-row m combine — no "
+        "wedge join at any community count",
     }
     sections = []
     for name, why in picks.items():
