@@ -1153,6 +1153,24 @@ def q_coloring_r2(spark, sf_dir):
     return res.select(F.col("node").alias("node_name"), "color")
 
 
+def q_eigen_k4(spark, sf_dir):
+    """Four L2-normalized power iterations of eigenvector centrality
+    (operators/eigen.py — x' = A^T x / ||A^T x||, principal-eigenvector
+    fixpoint pinned against numpy/networkx in tests) on the per-user
+    transition multigraph. The loop BODY (gather + in-sum + one-action
+    piggybacked norm/delta) is value-checked via a 4-round unrolled-CTE
+    oracle computing the identical recurrence."""
+    from linkgraph.operators.eigen import eigenvector_centrality
+
+    res = eigenvector_centrality(
+        _user_transition_edges(spark, sf_dir),
+        max_iter=4, check_convergence=False,
+    )
+    return res.scores.select(
+        F.col("node").alias("node_name"), F.round("score", 8).alias("eig8")
+    )
+
+
 def q_modularity(spark, sf_dir):
     """Newman-Girvan modularity per community (operators/structure.py
     modularity_by_label) of a deterministic 16-way md5-prefix partition
@@ -1620,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_r2": q_coreness_r2,
         "katz_k4": q_katz_k4,
         "modularity": q_modularity,
+        "eigen_k4": q_eigen_k4,
         "coloring_r2": q_coloring_r2,
         "anf_curve": q_anf_curve,
         "transitivity": q_transitivity,
@@ -2023,6 +2042,40 @@ def _katz_unrolled_sql(rounds: int, alpha: float = 0.05) -> str:
     """
 
 
+def _eigen_unrolled_sql(rounds: int) -> str:
+    """L2-normalized power iterations unrolled into chained CTEs
+    (operators/eigen.py semantics: x0 = 1/sqrt(n); raw = weighted
+    in-sum with 0 for no in-edges; x' = raw / sqrt(sum raw^2))."""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+            c{i} AS (
+              SELECT we.dst AS node, sum(x.x * we.w) AS c
+              FROM we JOIN x{i} x ON x.node = we.src
+              GROUP BY we.dst
+            ),
+            full{i} AS (
+              SELECT n.node, coalesce(c.c, 0.0) AS c
+              FROM x{i} n LEFT JOIN c{i} c ON c.node = n.node
+            ),
+            nrm{i} AS (SELECT sqrt(sum(c * c)) AS l2 FROM full{i}),
+            x{i + 1} AS (
+              SELECT node, c / l2 AS x FROM full{i} CROSS JOIN nrm{i}
+            )""")
+    return f"""
+        WITH raw AS ({_UTRANS}),
+        we AS (
+          SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM raw GROUP BY src, dst
+        ),
+        nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        x0 AS (SELECT node, 1.0 / sqrt(nn.n) AS x FROM nodes CROSS JOIN nn),
+        {",".join(steps)}
+        SELECT node AS node_name, round(x, 8) AS eig8 FROM x{rounds}
+    """
+
+
 def _coloring_unrolled_sql(rounds: int, seed: str = "color") -> str:
     """Greedy-coloring rounds unrolled into chained CTEs
     (operators/coloring.py semantics: priority md5(seed|round|node);
@@ -2390,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_r2": _mis_unrolled_sql(2),
         "coreness_r2": _coreness_unrolled_sql(2),
         "katz_k4": _katz_unrolled_sql(4),
+        "eigen_k4": _eigen_unrolled_sql(4),
         "modularity": f"""
             WITH {_UTRANS_UND},
             nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
