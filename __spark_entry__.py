@@ -1153,6 +1153,22 @@ def q_coloring_r2(spark, sf_dir):
     return res.select(F.col("node").alias("node_name"), "color")
 
 
+def q_trussness_r2(spark, sf_dir):
+    """Two h-index rounds of the peel-free truss decomposition
+    (operators/ktruss.py truss_decomposition — Sariyuce et al. PVLDB'18
+    local nucleus iteration; s_0 = support, s' = H(min of the other two
+    edges' levels over containing triangles), trussness = fixpoint + 2)
+    on the per-user transition graph. Round body value-checked via a
+    2-round unrolled window-CTE oracle over the same triangle incidence;
+    fixpoint == k_truss peel for every k pinned in tests."""
+    from linkgraph.operators.ktruss import truss_decomposition
+
+    res = truss_decomposition(_user_transition_edges(spark, sf_dir), fixed_rounds=2)
+    return res.select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b"), "trussness"
+    )
+
+
 def q_eigen_k4(spark, sf_dir):
     """Four L2-normalized power iterations of eigenvector centrality
     (operators/eigen.py — x' = A^T x / ||A^T x||, principal-eigenvector
@@ -1639,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_k4": q_katz_k4,
         "modularity": q_modularity,
         "eigen_k4": q_eigen_k4,
+        "trussness_r2": q_trussness_r2,
         "coloring_r2": q_coloring_r2,
         "anf_curve": q_anf_curve,
         "transitivity": q_transitivity,
@@ -2039,6 +2056,54 @@ def _katz_unrolled_sql(rounds: int, alpha: float = 0.05) -> str:
         x0 AS (SELECT node, 1.0 AS x FROM nodes),
         {",".join(steps)}
         SELECT node AS node_name, round(x, 8) AS katz8 FROM x{rounds}
+    """
+
+
+def _trussness_unrolled_sql(rounds: int) -> str:
+    """Truss-decomposition h-index rounds unrolled into chained CTEs
+    (operators/ktruss.py truss_decomposition semantics: triangle
+    incidence = canonical edge + its triangle's other two canonical
+    edges; s0 = support; s' = max(least(rank_desc, min-pair-level)))."""
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+            v{r} AS (
+              SELECT i.a, i.b, least(s1.s, s2.s) AS v
+              FROM inc i
+              JOIN s{r} s1 ON s1.a = i.c1 AND s1.b = i.d1
+              JOIN s{r} s2 ON s2.a = i.c2 AND s2.b = i.d2
+            ),
+            rk{r} AS (
+              SELECT a, b, v,
+                     row_number() OVER (PARTITION BY a, b ORDER BY v DESC)
+                       AS rk
+              FROM v{r}
+            ),
+            up{r} AS (
+              SELECT a, b, max(least(rk, v)) AS h FROM rk{r} GROUP BY a, b
+            ),
+            s{r + 1} AS (
+              SELECT s.a, s.b, coalesce(u.h, 0) AS s
+              FROM s{r} s LEFT JOIN up{r} u ON u.a = s.a AND u.b = s.b
+            )""")
+    return f"""
+        WITH {_UTRANS_UND},
+        canon AS (SELECT a, b FROM und WHERE a < b),
+        inc AS (
+          SELECT c.a, c.b,
+                 least(c.a, u1.b) AS c1, greatest(c.a, u1.b) AS d1,
+                 least(c.b, u1.b) AS c2, greatest(c.b, u1.b) AS d2
+          FROM canon c
+          JOIN und u1 ON u1.a = c.a
+          JOIN und u2 ON u2.a = c.b AND u2.b = u1.b
+        ),
+        sup AS (SELECT a, b, count(*) AS s FROM inc GROUP BY a, b),
+        s0 AS (
+          SELECT c.a, c.b, coalesce(sup.s, 0) AS s
+          FROM canon c LEFT JOIN sup ON sup.a = c.a AND sup.b = c.b
+        ),
+        {",".join(steps)}
+        SELECT a AS node_a, b AS node_b, s + 2 AS trussness FROM s{rounds}
     """
 
 
@@ -2444,6 +2509,7 @@ def oracle_sql() -> dict[str, str]:
         "coreness_r2": _coreness_unrolled_sql(2),
         "katz_k4": _katz_unrolled_sql(4),
         "eigen_k4": _eigen_unrolled_sql(4),
+        "trussness_r2": _trussness_unrolled_sql(2),
         "modularity": f"""
             WITH {_UTRANS_UND},
             nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),

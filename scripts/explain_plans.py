@@ -111,6 +111,9 @@ def main() -> None:
         "modularity": "modularity: two label joins on the symmetric "
         "edge set + label-keyed aggregates + 1-row m combine — no "
         "wedge join at any community count",
+        "trussness_r2": "truss h-index round: two composite-key joins "
+        "against the STATIC triangle incidence (wedge join paid once, "
+        "not per round) + per-edge window rank + max agg",
     }
     sections = []
     for name, why in picks.items():

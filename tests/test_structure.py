@@ -369,3 +369,53 @@ def test_modularity_extremes(spark):
     sing = spark.createDataFrame([(v, v) for v in range(n)], "node long, label long")
     q = sum(r["contrib"] for r in modularity_by_label(e, sing).collect())
     assert q < 0
+
+
+# ---- truss decomposition (h-index fixpoint over triangle incidence) ----
+
+def test_trussness_agrees_with_ktruss_peel(spark):
+    from linkgraph.operators.ktruss import truss_decomposition
+
+    src, dst, _ = fx.karate_club()
+    e = fx.edges_df(spark, src, dst)
+    td = {(r["a"], r["b"]): r["trussness"] for r in truss_decomposition(e).collect()}
+    assert max(td.values()) == 5  # karate's known max truss
+    for k in (3, 4, 5, 6):
+        peel = {(r["a"], r["b"]) for r in k_truss(e, k).collect()}
+        assert {ab for ab, t in td.items() if t >= k} == peel, k
+
+
+def test_trussness_rounds_monotone_and_support_init(spark):
+    from linkgraph.operators.ktruss import edge_support, truss_decomposition, _canonical
+
+    src, dst, _ = fx.karate_club()
+    e = fx.edges_df(spark, src, dst)
+    prev = None
+    for r in range(3):
+        t = {
+            (row["a"], row["b"]): row["trussness"]
+            for row in truss_decomposition(e, fixed_rounds=r).collect()
+        }
+        if prev is not None:
+            assert all(t[k] <= prev[k] for k in t)
+        prev = t
+    sup = {
+        (r["a"], r["b"]): r["support"]
+        for r in edge_support(_canonical(e)).collect()
+    }
+    t0 = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(e, fixed_rounds=0).collect()
+    }
+    assert t0 == {k: v + 2 for k, v in sup.items()}
+
+
+def test_trussness_triangle_free(spark):
+    from linkgraph.operators.ktruss import truss_decomposition
+
+    src, dst, _ = fx.toy_chain_dangling()
+    t = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(fx.edges_df(spark, src, dst)).collect()
+    }
+    assert set(t.values()) == {2}  # every edge exactly the trivial 2-truss
