@@ -1153,6 +1153,26 @@ def q_coloring_r2(spark, sf_dir):
     return res.select(F.col("node").alias("node_name"), "color")
 
 
+def q_salsa_k3(spark, sf_dir):
+    """Three SALSA iterations (operators/salsa.py — Lempel-Moran
+    stochastic hubs/authorities: degree-normalized backward then forward
+    step, mass-conserving so no normalization scalar exists) on the
+    per-user transition multigraph. Loop BODY value-checked via a
+    3-round unrolled-CTE oracle; the stationary in-degree-
+    proportionality theorem is pinned in tests."""
+    from linkgraph.operators.salsa import salsa
+
+    res = salsa(
+        _user_transition_edges(spark, sf_dir), max_iter=3,
+        check_convergence=False,
+    )
+    return res.scores.select(
+        F.col("node").alias("node_name"),
+        F.round("hub", 8).alias("hub8"),
+        F.round("authority", 8).alias("auth8"),
+    )
+
+
 def q_trussness_r2(spark, sf_dir):
     """Two h-index rounds of the peel-free truss decomposition
     (operators/ktruss.py truss_decomposition — Sariyuce et al. PVLDB'18
@@ -1656,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
+        "salsa_k3": q_salsa_k3,
         "coloring_r2": q_coloring_r2,
         "anf_curve": q_anf_curve,
         "transitivity": q_transitivity,
@@ -2056,6 +2077,51 @@ def _katz_unrolled_sql(rounds: int, alpha: float = 0.05) -> str:
         x0 AS (SELECT node, 1.0 AS x FROM nodes),
         {",".join(steps)}
         SELECT node AS node_name, round(x, 8) AS katz8 FROM x{rounds}
+    """
+
+
+def _salsa_unrolled_sql(rounds: int) -> str:
+    """SALSA iterations unrolled into chained CTEs (operators/salsa.py
+    semantics: multi-edges kept as rows, w_bwd = 1/out_deg(src), w_fwd =
+    1/in_deg(dst); a' = backward stochastic step, h' = forward on a';
+    degree-absent vertices coalesce to 0)."""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+            a{i} AS (
+              SELECT we.dst AS node, sum(s.h * we.w_bwd) AS a_raw
+              FROM we JOIN s{i} s ON s.node = we.src GROUP BY we.dst
+            ),
+            h{i} AS (
+              SELECT we.src AS node, sum(a.a_raw * we.w_fwd) AS h_raw
+              FROM we JOIN a{i} a ON a.node = we.dst GROUP BY we.src
+            ),
+            s{i + 1} AS (
+              SELECT n.node,
+                     coalesce(h.h_raw, 0.0) AS h,
+                     coalesce(a.a_raw, 0.0) AS a
+              FROM s{i} n
+              LEFT JOIN a{i} a ON a.node = n.node
+              LEFT JOIN h{i} h ON h.node = n.node
+            )""")
+    return f"""
+        WITH raw AS ({_UTRANS}),
+        e AS (SELECT src, dst FROM raw),
+        od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        idg AS (SELECT dst, count(*) AS idg FROM e GROUP BY dst),
+        we AS (
+          SELECT e.src, e.dst, 1.0 / od.od AS w_bwd, 1.0 / idg.idg AS w_fwd
+          FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst
+        ),
+        nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        s0 AS (
+          SELECT node, 1.0 / nn.n AS h, 1.0 / nn.n AS a
+          FROM nodes CROSS JOIN nn
+        ),
+        {",".join(steps)}
+        SELECT node AS node_name, round(h, 8) AS hub8, round(a, 8) AS auth8
+        FROM s{rounds}
     """
 
 
@@ -2510,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_k4": _katz_unrolled_sql(4),
         "eigen_k4": _eigen_unrolled_sql(4),
         "trussness_r2": _trussness_unrolled_sql(2),
+        "salsa_k3": _salsa_unrolled_sql(3),
         "modularity": f"""
             WITH {_UTRANS_UND},
             nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
