@@ -1153,6 +1153,27 @@ def q_coloring_r2(spark, sf_dir):
     return res.select(F.col("node").alias("node_name"), "color")
 
 
+def q_closeness_k4(spark, sf_dir):
+    """Sampled closeness centrality (operators/bfs.py
+    closeness_centrality): per-source exact closeness + Wasserman-Faust
+    correction from the 4 lexicographic-min vertices of the undirected
+    bipartite graph — same multi-source frontier BFS as harmonic_k4,
+    exact value oracle via the same seeded recursive-CTE walk;
+    networkx parity pinned in tests."""
+    from linkgraph.operators.bfs import closeness_centrality
+    from linkgraph.operators.degrees import vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    srcs = vertices(edges).orderBy("node").limit(4)
+    res = closeness_centrality(edges, srcs, directed=False)
+    return res.select(
+        F.col("source").alias("source_name"),
+        "n_reached",
+        F.round("closeness", 8).alias("clo8"),
+        F.round("closeness_wf", 8).alias("clo_wf8"),
+    )
+
+
 def q_salsa_k3(spark, sf_dir):
     """Three SALSA iterations (operators/salsa.py — Lempel-Moran
     stochastic hubs/authorities: degree-normalized backward then forward
@@ -1677,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
+        "closeness_k4": q_closeness_k4,
         "coloring_r2": q_coloring_r2,
         "anf_curve": q_anf_curve,
         "transitivity": q_transitivity,
@@ -3349,6 +3371,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS node_name, count(*) AS n_sources,
                round(sum(1.0 / d), 8) AS harmonic8
         FROM best WHERE d > 0 GROUP BY node
+    """
+    # same seeded walk; per-SOURCE aggregates + Wasserman-Faust factor
+    out["closeness_k4"] = f"""
+        WITH RECURSIVE edges AS ({_BIP}),
+        und AS (
+          SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst
+          UNION SELECT DISTINCT dst, src FROM edges WHERE src <> dst
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+          )
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        srcs AS (SELECT node FROM nodes ORDER BY node LIMIT 4),
+        walk(s, node, d) AS (
+          SELECT node, node, 0 FROM srcs
+          UNION
+          SELECT walk.s, und.b, walk.d + 1 FROM walk JOIN und ON und.a = walk.node
+          WHERE walk.d < 64
+        ),
+        best AS (SELECT s, node, min(d) AS d FROM walk GROUP BY s, node),
+        agg AS (
+          SELECT s, count(*) AS n_reached, sum(d) AS dist_sum
+          FROM best GROUP BY s
+        )
+        SELECT s AS source_name, n_reached,
+               round(CASE WHEN dist_sum > 0
+                          THEN (n_reached - 1) * 1.0 / dist_sum
+                          ELSE 0.0 END, 8) AS clo8,
+               round(CASE WHEN dist_sum > 0
+                          THEN (n_reached - 1) * 1.0 / dist_sum
+                               * (n_reached - 1) / greatest(nn.n - 1, 1)
+                          ELSE 0.0 END, 8) AS clo_wf8
+        FROM agg CROSS JOIN nn
     """
     # same seeded walk; per-distance counts + running-sum quantile
     out["eff_diameter"] = f"""

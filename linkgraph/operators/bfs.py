@@ -192,3 +192,42 @@ def effective_diameter(
             F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("dist"))
         ).alias("eff_diameter"),
     )
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    directed: bool = False,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Per-source closeness over the sampled source set: for each s,
+    c_raw(s) = (r-1) / Σ_v dist(s, v) with r = |reached(s)| (exact for
+    each sampled source — the BFS gives s's full distance vector), plus
+    the Wasserman-Faust disconnected-graph correction
+    c_wf(s) = ((r-1)/(n-1)) · c_raw(s) (the networkx default). Isolated
+    sources (r = 1) get 0 for both. Returns
+    [source, n_reached, closeness, closeness_wf].
+
+    Same frontier-loop footprint as harmonic_centrality — one
+    multi-source BFS, then a per-source aggregate over the settled
+    (source, node, dist) pairs."""
+    from linkgraph.operators.degrees import vertices
+
+    n = vertices(edges).count()
+    hops = multi_source_hops(edges, sources, directed=directed, max_iter=max_iter)
+    agg = hops.distances.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("dist").alias("dist_sum"),
+    )
+    raw = F.when(
+        F.col("dist_sum") > 0,
+        (F.col("n_reached") - 1) / F.col("dist_sum"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source",
+        "n_reached",
+        raw.alias("closeness"),
+        (raw * (F.col("n_reached") - 1) / F.lit(max(n - 1, 1))).alias(
+            "closeness_wf"
+        ),
+    )

@@ -155,3 +155,42 @@ def test_effective_diameter_karate_vs_python(spark):
     assert r["n_pairs"] == len(dists)
     assert r["max_dist"] == max(dists)
     assert r["eff_diameter"] == exp_eff
+
+
+def test_closeness_matches_networkx(spark):
+    from linkgraph.operators.bfs import closeness_centrality
+
+    src, dst, n = fx.karate_club()
+    e = fx.edges_df(spark, src, dst)
+    srcs = spark.createDataFrame([(v,) for v in range(n)], "node long")
+    got = {
+        r["source"]: (r["closeness"], r["closeness_wf"])
+        for r in closeness_centrality(e, srcs).collect()
+    }
+    nx = pytest.importorskip("networkx")
+    G = nx.Graph()
+    G.add_edges_from(zip(map(int, src), map(int, dst)))
+    want = nx.closeness_centrality(G)  # wf_improved=True default
+    for v in range(n):
+        assert got[v][1] == pytest.approx(want[v], abs=1e-12)
+        # connected graph: wf == raw
+        assert got[v][0] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_closeness_disconnected_and_isolated(spark):
+    from linkgraph.operators.bfs import closeness_centrality
+
+    # component {0,1,2} path + component {10,11}; n = 5
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,), (1,), (10,)], "node long")
+    got = {
+        r["source"]: r for r in closeness_centrality(e, srcs).collect()
+    }
+    assert got[1]["n_reached"] == 3
+    assert got[1]["closeness"] == pytest.approx(2 / 2)  # dists 1+1
+    assert got[1]["closeness_wf"] == pytest.approx((2 / 4) * (2 / 2))
+    assert got[10]["closeness"] == pytest.approx(1.0)
+    assert got[10]["closeness_wf"] == pytest.approx((1 / 4) * 1.0)
+    assert got[0]["closeness"] == pytest.approx(2 / 3)  # dists 1+2
