@@ -1153,6 +1153,21 @@ def q_coloring_r2(spark, sf_dir):
     return res.select(F.col("node").alias("node_name"), "color")
 
 
+def q_matching_r2(spark, sf_dir):
+    """Two rounds of the distributed maximal-matching tournament
+    (operators/matching.py — Israeli-Itai greedy matching derandomized
+    by md5 edge priorities: an edge matches iff its priority is the min
+    at BOTH endpoints) on the per-user transition graph, value-checked
+    via a 2-round unrolled-CTE oracle. Fixpoint validity + maximality
+    are pinned in tests."""
+    from linkgraph.operators.matching import maximal_matching
+
+    res = maximal_matching(_user_transition_edges(spark, sf_dir), fixed_rounds=2)
+    return res.select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b"), "round"
+    )
+
+
 def q_closeness_k4(spark, sf_dir):
     """Sampled closeness centrality (operators/bfs.py
     closeness_centrality): per-source exact closeness + Wasserman-Faust
@@ -1699,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
         "closeness_k4": q_closeness_k4,
+        "matching_r2": q_matching_r2,
         "coloring_r2": q_coloring_r2,
         "anf_curve": q_anf_curve,
         "transitivity": q_transitivity,
@@ -2099,6 +2115,48 @@ def _katz_unrolled_sql(rounds: int, alpha: float = 0.05) -> str:
         x0 AS (SELECT node, 1.0 AS x FROM nodes),
         {",".join(steps)}
         SELECT node AS node_name, round(x, 8) AS katz8 FROM x{rounds}
+    """
+
+
+def _matching_unrolled_sql(rounds: int, seed: str = "match") -> str:
+    """Maximal-matching tournament rounds unrolled into chained CTEs
+    (operators/matching.py semantics: canonical a<b simple edges;
+    priority md5(seed|round|a|b); win iff min at both endpoints; both
+    endpoints retire)."""
+    steps = []
+    wins = []
+    for r in range(rounds):
+        steps.append(f"""
+            p{r} AS (
+              SELECT a, b, md5('{seed}|{r}|' || a || '|' || b) AS p
+              FROM e{r}
+            ),
+            vm{r} AS (
+              SELECT v, min(p) AS mp FROM (
+                SELECT a AS v, p FROM p{r}
+                UNION ALL SELECT b AS v, p FROM p{r}
+              ) GROUP BY v
+            ),
+            w{r} AS (
+              SELECT p.a, p.b, {r} AS round
+              FROM p{r} p
+              JOIN vm{r} va ON va.v = p.a
+              JOIN vm{r} vb ON vb.v = p.b
+              WHERE p.p = va.mp AND p.p = vb.mp
+            ),
+            t{r} AS (SELECT a AS v FROM w{r} UNION SELECT b FROM w{r}),
+            e{r + 1} AS (
+              SELECT a, b FROM e{r}
+              WHERE a NOT IN (SELECT v FROM t{r})
+                AND b NOT IN (SELECT v FROM t{r})
+            )""")
+        wins.append(f"SELECT a, b, round FROM w{r}")
+    return f"""
+        WITH {_UTRANS_UND},
+        e0 AS (SELECT a, b FROM und WHERE a < b),
+        {",".join(steps)}
+        SELECT a AS node_a, b AS node_b, round
+        FROM ({" UNION ALL ".join(wins)})
     """
 
 
@@ -2599,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
         "eigen_k4": _eigen_unrolled_sql(4),
         "trussness_r2": _trussness_unrolled_sql(2),
         "salsa_k3": _salsa_unrolled_sql(3),
+        "matching_r2": _matching_unrolled_sql(2),
         "modularity": f"""
             WITH {_UTRANS_UND},
             nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
