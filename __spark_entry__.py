@@ -1153,6 +1153,36 @@ def q_coloring_r2(spark, sf_dir):
     return res.select(F.col("node").alias("node_name"), "color")
 
 
+def q_ball2(spark, sf_dir):
+    """Exact 2-hop ball sizes |B(v,2)| on the undirected per-user
+    transition graph — the exactness baseline the HyperANF sketches
+    (q_anf_curve) estimate: self ∪ neighbors ∪ neighbors-of-neighbors,
+    distinct, counted per vertex. One wedge self-join + distinct + count
+    (the ANF accuracy tests pin the sketch curve against exactly this
+    quantity computed by BFS). Full DuckDB value oracle."""
+    from linkgraph.operators.degrees import symmetrize, vertices
+
+    e = _user_transition_edges(spark, sf_dir)
+    sym = symmetrize(e)
+    h0 = vertices(e).select(F.col("node").alias("v"), F.col("node").alias("u"))
+    h1 = sym.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    h2 = (
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("mid"))
+        .join(
+            sym.select(F.col("src").alias("mid"), F.col("dst").alias("u")),
+            "mid",
+        )
+        .select("v", "u")
+    )
+    return (
+        h0.unionByName(h1)
+        .unionByName(h2)
+        .distinct()
+        .groupBy(F.col("v").alias("node_name"))
+        .agg(F.count(F.lit(1)).alias("ball2"))
+    )
+
+
 def q_matching_r2(spark, sf_dir):
     """Two rounds of the distributed maximal-matching tournament
     (operators/matching.py — Israeli-Itai greedy matching derandomized
@@ -1715,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_k3": q_salsa_k3,
         "closeness_k4": q_closeness_k4,
         "matching_r2": q_matching_r2,
+        "ball2": q_ball2,
         "coloring_r2": q_coloring_r2,
         "anf_curve": q_anf_curve,
         "transitivity": q_transitivity,
@@ -2658,6 +2689,19 @@ def oracle_sql() -> dict[str, str]:
         "trussness_r2": _trussness_unrolled_sql(2),
         "salsa_k3": _salsa_unrolled_sql(3),
         "matching_r2": _matching_unrolled_sql(2),
+        "ball2": f"""
+            WITH {_UTRANS_UND},
+            nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+            pairs AS (
+              SELECT node AS v, node AS u FROM nodes
+              UNION
+              SELECT a, b FROM und
+              UNION
+              SELECT u1.a, u2.b FROM und u1 JOIN und u2 ON u2.a = u1.b
+            )
+            SELECT v AS node_name, count(*) AS ball2
+            FROM pairs GROUP BY v
+        """,
         "modularity": f"""
             WITH {_UTRANS_UND},
             nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
