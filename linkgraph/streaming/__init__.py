@@ -13,6 +13,10 @@ from linkgraph.streaming.components import (  # noqa: F401
     read_component_table,
     stream_components_maintenance,
 )
+from linkgraph.streaming.triangles import (  # noqa: F401
+    stream_triangle_maintenance,
+    triangle_total,
+)
 from linkgraph.streaming.rank import (  # noqa: F401
     rank_maintenance_log,
     read_rank_table,

@@ -55,8 +55,15 @@ def list_epochs(spark: SparkSession, root_dir: str) -> list[int]:
     return out
 
 
-def read_manifest(spark: SparkSession, root_dir: str) -> dict | None:
+def read_manifest(
+    spark: SparkSession, root_dir: str, before: int | None = None
+) -> dict | None:
+    """Latest committed manifest; with ``before``, the latest with epoch
+    strictly below it — what a REPLAYED microbatch must read so its own
+    (possibly already-promoted) commit never feeds back into its input."""
     epochs = list_epochs(spark, root_dir)
+    if before is not None:
+        epochs = [e for e in epochs if e < before]
     if not epochs:
         return None
     fs, _, jvm = _fs(spark, root_dir)

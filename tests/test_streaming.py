@@ -302,3 +302,78 @@ def test_components_warm_start_batch_equivalence(spark):
     assert gw[20] == 20 and gw[21] == 20
     assert gw[3] == 1 and gw[11] == 1
     assert warm.iterations <= cold.iterations
+
+
+def test_stream_triangle_maintenance(spark, tmp_path):
+    """Exact incremental triangle counting: after each drained drop the
+    maintained running total must equal a cold batch triangle count on
+    everything seen (sum per-vertex / 3), including a second drop whose
+    edges partially re-send already-known pairs (the delta path dedups
+    against the maintained canonical table)."""
+    from linkgraph.operators.triangles import triangles_per_vertex
+    from linkgraph.streaming import stream_triangle_maintenance, triangle_total
+
+    src = str(tmp_path / "transcripts")
+    work = str(tmp_path / "tri_work")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain():
+        edges = stream_reply_edges(
+            read_transcript_stream(spark, src), state_ttl=False
+        ).select("src", "dst")
+        q = stream_triangle_maintenance(edges, work, ckpt, available_now=True)
+        assert q.awaitTermination(600), "microbatch did not finish in 600s"
+
+    def batch_total():
+        e = derive_edges(spark.read.parquet(src)).select("src", "dst")
+        agg = triangles_per_vertex(e).agg(F.sum("triangles").alias("t")).first()
+        return int(agg["t"] or 0) // 3
+
+    t1 = generate_transcripts(spark, n_convs=80, seed=3)
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    log1 = triangle_total(spark, work)
+    want1 = batch_total()
+    assert log1["total"] == want1
+    assert log1["delta"] == want1
+
+    t2 = generate_transcripts(spark, n_convs=50, seed=11).withColumn(
+        "conv_id", F.concat(F.lit("r2-"), F.col("conv_id"))
+    )
+    t2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    log2 = triangle_total(spark, work)
+    want2 = batch_total()
+    assert log2["total"] == want2
+    assert log2["delta"] == want2 - want1
+
+
+def test_tri_delta_inclusion_exclusion(spark):
+    """_tri_delta corner cases: triangles closed with exactly 1, 2, and
+    3 new edges must each count once (A - P + Q)."""
+    from linkgraph.streaming.triangles import _tri_delta
+
+    def canon(pairs):
+        return spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in pairs], "a long, b long"
+        )
+
+    # old: path 0-1-2 ; new edge (0,2) closes one triangle with 1 new edge
+    n, d = _tri_delta(spark, canon([(0, 1), (1, 2)]), canon([(0, 2)]))
+    assert (n, d) == (1, 1)
+    # old: single edge (0,1); new edges (1,2),(0,2): triangle with 2 new
+    n, d = _tri_delta(spark, canon([(0, 1)]), canon([(1, 2), (0, 2)]))
+    assert (n, d) == (2, 1)
+    # all three edges new
+    n, d = _tri_delta(
+        spark, canon([]).limit(0), canon([(0, 1), (1, 2), (0, 2)])
+    )
+    assert (n, d) == (3, 1)
+    # duplicate resend: nothing new, delta 0
+    n, d = _tri_delta(spark, canon([(0, 1), (1, 2)]), canon([(0, 1)]))
+    assert (n, d) == (0, 0)
+    # K4 all new: 6 edges, 4 triangles
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    n, d = _tri_delta(spark, canon([]).limit(0), canon(k4))
+    assert (n, d) == (6, 4)
