@@ -1295,6 +1295,69 @@ def q_modularity(spark, sf_dir):
     )
 
 
+def q_louvain(spark, sf_dir):
+    """Full multi-level Louvain (operators/louvain.py; Blondel et al.
+    2008, Lu et al. 2015 parallel relaxation) over the per-user
+    transition graph on xxhash64 ids — iterative fixpoint + xxhash64,
+    so rows-only here; bit-equality vs the python replica on BOTH
+    execution paths and karate quality (Q=0.4198) are pinned in
+    tests/test_louvain.py. Output: node_name -> community named by its
+    min-hash member."""
+    from linkgraph.operators.louvain import louvain
+
+    base = _user_transition_edges(spark, sf_dir)
+    edges = base.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    )
+    names = (
+        base.select(F.col("src").alias("node_name"))
+        .union(base.select("dst"))
+        .distinct()
+        .withColumn("node", F.xxhash64("node_name"))
+    )
+    res = louvain(edges)
+    return (
+        res.communities.join(names, "node")
+        .join(
+            names.select(
+                F.col("node").alias("community"),
+                F.col("node_name").alias("community_name"),
+            ),
+            "community",
+        )
+        .select("node_name", "community_name")
+    )
+
+
+def q_louvain_round(spark, sf_dir):
+    """One scored Louvain local-move round (round 0 of 6 md5 classes,
+    identity init) on STRING node ids through the REAL distributed
+    round (operators/louvain.py _one_round): canonical weighted simple
+    edges with self-loop degree bookkeeping, own-community zero-row
+    injection, exact (gain, is_own, -cand) argmax. Fully
+    SQL-expressible at identity init (sigma_c = k_c, candidate
+    communities = neighbor ids) -> value-checked against a DuckDB twin;
+    the multi-round/multi-level recurrence is pinned replica-bit-equal
+    in tests/test_louvain.py."""
+    from linkgraph.operators.louvain import (
+        _init_state,
+        _one_round,
+        _sym_with_class,
+        _weighted_simple,
+    )
+
+    wedges = _weighted_simple(_user_transition_edges(spark, sf_dir), None)
+    two_m = wedges.select(F.sum(2.0 * F.col("w"))).first()[0]
+    out = _one_round(
+        _sym_with_class(wedges, 6), _init_state(wedges), two_m, 0, 6
+    )
+    return out.select(
+        F.col("node").alias("node_name"),
+        F.col("community").alias("community_name"),
+        F.round("k", 6).alias("k6"),
+    )
+
+
 def q_katz_k4(spark, sf_dir):
     """Four Katz-centrality iterations (operators/katz.py — x = beta*1 +
     alpha*A^T x, walk sums up to length 4 exactly) on the per-user
@@ -1740,6 +1803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_r2": q_coreness_r2,
         "katz_k4": q_katz_k4,
         "modularity": q_modularity,
+        "louvain": q_louvain,
+        "louvain_round": q_louvain_round,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -2729,6 +2794,67 @@ def oracle_sql() -> dict[str, str]:
                    ) AS contrib8
             FROM degc LEFT JOIN intra ON intra.label = degc.label
             CROSS JOIN mm
+        """,
+        "louvain_round": f"""
+            WITH ut AS ({_UTRANS}),
+            we AS (
+              SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     CAST(count(*) AS DOUBLE) AS w
+              FROM ut GROUP BY 1, 2
+            ),
+            tm AS (SELECT sum(2.0 * w) AS two_m FROM we),
+            deg AS (
+              SELECT node, sum(w) AS k FROM (
+                SELECT a AS node, w FROM we WHERE a <> b
+                UNION ALL SELECT b AS node, w FROM we WHERE a <> b
+                UNION ALL SELECT a AS node, 2.0 * w AS w FROM we WHERE a = b
+              ) GROUP BY node
+            ),
+            par AS (
+              SELECT node,
+                     (strpos('0123456789abcdef', substr(md5(node), 1, 1)) - 1)
+                       % 6 AS p
+              FROM deg
+            ),
+            sym AS (
+              SELECT a AS src, b AS dst, w FROM we WHERE a <> b
+              UNION ALL
+              SELECT b AS src, a AS dst, w FROM we WHERE a <> b
+            ),
+            kic AS (
+              SELECT node, cand, sum(w) AS kic FROM (
+                SELECT s.src AS node, s.dst AS cand, s.w
+                FROM sym s JOIN par p ON p.node = s.src AND p.p = 0
+                UNION ALL
+                SELECT d.node, d.node AS cand, 0.0 AS w
+                FROM deg d JOIN par p ON p.node = d.node AND p.p = 0
+              ) GROUP BY node, cand
+            ),
+            scored AS (
+              SELECT kic.node, kic.cand,
+                     kic.kic - di.k * (dc.k - CASE WHEN kic.cand = kic.node
+                                                   THEN di.k ELSE 0.0 END)
+                               / tm.two_m AS gain,
+                     CASE WHEN kic.cand = kic.node THEN 1 ELSE 0 END AS is_own
+              FROM kic
+              JOIN deg di ON di.node = kic.node
+              JOIN deg dc ON dc.node = kic.cand
+              CROSS JOIN tm
+            ),
+            best AS (
+              SELECT node, cand AS community FROM (
+                SELECT node, cand,
+                       row_number() OVER (
+                         PARTITION BY node
+                         ORDER BY gain DESC, is_own DESC, cand ASC
+                       ) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            )
+            SELECT deg.node AS node_name,
+                   coalesce(best.community, deg.node) AS community_name,
+                   round(deg.k, 6) AS k6
+            FROM deg LEFT JOIN best ON best.node = deg.node
         """,
         "coloring_r2": _coloring_unrolled_sql(2),
         "temporal_r3": _temporal_unrolled_sql(3),

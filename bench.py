@@ -80,7 +80,8 @@ def run() -> dict:
                  "unigram_xent", "centroid_cosine", "transitivity",
                  "coreness_r2", "coloring_r2", "anf_curve", "katz_k4",
                  "modularity", "eigen_k4", "trussness_r2", "salsa_k3",
-                 "closeness_k4", "matching_r2", "ball2"]:
+                 "closeness_k4", "matching_r2", "ball2", "louvain_round",
+                 "louvain"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()  # force full execution
         queries[name] = round(time.monotonic() - t0, 3)

@@ -1,0 +1,187 @@
+"""louvain (operators/louvain.py) — multilevel python replica + quality."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import pytest
+
+from linkgraph.operators.louvain import louvain
+
+from .conftest import edges_df, karate_club, two_components
+
+
+CLASSES = 6
+MAX_GROUPS = 6
+
+
+def _par(x, classes=CLASSES):
+    return int(hashlib.md5(str(x).encode()).hexdigest()[0], 16) % classes
+
+
+def _replica(src, dst, classes=CLASSES, max_groups=MAX_GROUPS, max_levels=10):
+    """Bit-identical twin of the Spark algorithm: weighted canonical
+    edges with self-loops, md5-class half-sweeps, exact argmax on
+    (gain, is_own, -cand), per-group min-member canonicalization with
+    a canonical-label fixpoint stop, contraction with loop mass."""
+    w = Counter()
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        w[(min(a, b), max(a, b))] += 1.0
+    orig_nodes = sorted(set(map(int, src)) | set(map(int, dst)))
+    two_m = 2.0 * sum(w.values())
+    mapping = {v: v for v in orig_nodes}
+
+    lvl = 0
+    for lvl in range(1, max_levels + 1):
+        nodes = sorted({a for a, _ in w} | {b for _, b in w})
+        adj = defaultdict(dict)
+        k = Counter()
+        for (a, b), wt in w.items():
+            if a == b:
+                k[a] += 2.0 * wt
+            else:
+                adj[a][b] = adj[a].get(b, 0.0) + wt
+                adj[b][a] = adj[b].get(a, 0.0) + wt
+                k[a] += wt
+                k[b] += wt
+        com = {v: v for v in nodes}
+
+        prev = None
+        for _grp in range(max_groups):
+            for r in range(classes):
+                sigma = Counter()
+                for v in nodes:
+                    sigma[com[v]] += k[v]
+                new = {}
+                for i in nodes:
+                    if _par(i, classes) != r:
+                        new[i] = com[i]
+                        continue
+                    kic = Counter()
+                    for j, wij in adj[i].items():
+                        kic[com[j]] += wij
+                    best = None
+                    for c in set(kic) | {com[i]}:
+                        s = sigma[c] - (k[i] if c == com[i] else 0.0)
+                        gain = kic.get(c, 0.0) - k[i] * s / two_m
+                        key = (gain, 1 if c == com[i] else 0, -c)
+                        if best is None or key > best[0]:
+                            best = (key, c)
+                    new[i] = best[1]
+                com = new
+            mn = {}
+            for v, c in com.items():
+                mn[c] = min(mn.get(c, v), v)
+            com = {v: mn[c] for v, c in com.items()}
+            if com == prev:
+                break
+            prev = dict(com)
+        n_super = len(set(com.values()))
+        mapping = {v: com.get(s, s) for v, s in mapping.items()}
+        if n_super == len(nodes):
+            break
+        w2 = Counter()
+        for (a, b), wt in w.items():
+            ca, cb = com[a], com[b]
+            w2[(min(ca, cb), max(ca, cb))] += wt
+        w = w2
+    return mapping, lvl
+
+
+def _modularity(src, dst, com):
+    und = Counter()
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        und[(min(a, b), max(a, b))] += 1
+    m = sum(und.values())
+    deg = Counter()
+    for (a, b), c in und.items():
+        deg[a] += c
+        deg[b] += c
+    q = 0.0
+    for cc in set(com.values()):
+        mem = {v for v in com if com[v] == cc}
+        intra = sum(c for (a, b), c in und.items() if a in mem and b in mem)
+        dc = sum(deg[v] for v in mem)
+        q += intra / m - (dc / (2 * m)) ** 2
+    return q
+
+
+@pytest.fixture(scope="module")
+def karate_result(spark):
+    """One Spark run shared by the replica-equality and quality tests."""
+    src, dst, _ = karate_club()
+    res = louvain(edges_df(spark, src, dst))
+    com = {r["node"]: r["community"] for r in res.communities.collect()}
+    return src, dst, res, com
+
+
+def test_louvain_matches_replica_karate(karate_result):
+    src, dst, res, got = karate_result
+    want, lvls = _replica(src, dst)
+    assert got == want
+    assert res.levels == lvls
+
+
+def test_louvain_quality_karate(karate_result):
+    src, dst, res, com = karate_result
+    q = _modularity(src, dst, com)
+    n_com = len(set(com.values()))
+    # sequential Louvain reaches ~0.42 on karate; the deterministic
+    # parallel variant must land in the canonical band, far above the
+    # oscillating-sweep failure mode
+    assert q > 0.40, (q, n_com)  # canonical karate optimum is 0.4198
+    assert 2 <= n_com <= 6
+    # every multi-member community is internally connected-ish
+    und = {(min(int(a), int(b)), max(int(a), int(b))) for a, b in zip(src, dst)}
+    for cc in set(com.values()):
+        mem = {v for v in com if com[v] == cc}
+        if len(mem) > 1:
+            assert any(a in mem and b in mem for a, b in und), cc
+    # canonical labels: every community is named after its min member
+    for v, c in com.items():
+        assert c == min(u for u in com if com[u] == c)
+    assert res.level_metrics and res.level_metrics[0]["nodes"] == 34
+
+
+def test_louvain_two_components_replica_and_isolation(spark):
+    src, dst, _ = two_components()
+    res = louvain(edges_df(spark, src, dst))
+    com = {r["node"]: r["community"] for r in res.communities.collect()}
+    want, lvls = _replica(src, dst)
+    assert com == want
+    assert res.levels == lvls
+    # fixture: two 5-cycles {0..4} and {5..9}; communities can never span
+    # disconnected components (a positive gain needs an edge)
+    labels_a = {com[v] for v in com if v < 5}
+    labels_b = {com[v] for v in com if v >= 5}
+    assert labels_a and labels_b and not (labels_a & labels_b)
+
+
+def test_louvain_distributed_path_equals_kernel_path(spark):
+    """kernel_edge_threshold=8 forces level 1 (10 edges) through the
+    distributed per-round path; contraction drops below the threshold
+    so later levels use the endgame kernel. Both paths implement the
+    same exact recurrence — results must be bit-identical to the
+    default (all-kernel) run and the replica."""
+    src, dst, _ = two_components()
+    e = edges_df(spark, src, dst)
+    dist = louvain(e, kernel_edge_threshold=8)
+    got = {r["node"]: r["community"] for r in dist.communities.collect()}
+    want, lvls = _replica(src, dst)
+    assert got == want
+    assert dist.levels == lvls
+    assert dist.level_metrics[0]["nodes"] == 10
+
+
+def test_louvain_determinism(spark):
+    src, dst, _ = two_components()
+    e = edges_df(spark, src, dst)
+    a = {r["node"]: r["community"] for r in louvain(e).communities.collect()}
+    b = {
+        r["node"]: r["community"]
+        for r in louvain(e.repartition(7)).communities.collect()
+    }
+    assert a == b
