@@ -1295,6 +1295,47 @@ def q_modularity(spark, sf_dir):
     )
 
 
+def q_conductance(spark, sf_dir):
+    """Per-community conductance (operators/structure.py
+    conductance_by_label; Kannan-Vempala-Vetta cluster quality) of the
+    same deterministic 16-way md5-prefix partition q_modularity uses —
+    cut edges counted once via the directed copy leaving its community,
+    label joins + label-keyed aggregates only. Value-checked against a
+    DuckDB twin; hand-computed extremes + networkx parity in tests."""
+    from linkgraph.operators.degrees import vertices
+    from linkgraph.operators.structure import conductance_by_label
+
+    e = _user_transition_edges(spark, sf_dir)
+    labels = vertices(e).select(
+        "node", F.substring(F.md5(F.col("node")), 1, 1).alias("label")
+    )
+    return conductance_by_label(e, labels).select(
+        "label",
+        "cut_edges",
+        "vol",
+        F.round("conductance", 8).alias("conductance8"),
+    )
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 relevance of every document against a fixed 3-term
+    query (operators/textstats.py bm25_scores) — the query-targeted
+    corpus-selection scorer. Zero explodes: per-term tf as vectorized
+    size(filter(...)) columns, one 1-row corpus-stats aggregate, score
+    as a projection. Value-checked against a DuckDB twin computing the
+    identical formula; python-replica parity + idf monotonicity pinned
+    in tests."""
+    from linkgraph.operators.textstats import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_scores(docs, ["table", "join", "merge"]).select(
+        "id",
+        "dl",
+        "n_matched",
+        F.round("bm25", 8).alias("bm25_8"),
+    )
+
+
 def q_louvain(spark, sf_dir):
     """Full multi-level Louvain (operators/louvain.py; Blondel et al.
     2008, Lu et al. 2015 parallel relaxation) over the per-user
@@ -1805,6 +1846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "louvain": q_louvain,
         "louvain_round": q_louvain_round,
+        "conductance": q_conductance,
+        "bm25": q_bm25,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -2794,6 +2837,68 @@ def oracle_sql() -> dict[str, str]:
                    ) AS contrib8
             FROM degc LEFT JOIN intra ON intra.label = degc.label
             CROSS JOIN mm
+        """,
+        "conductance": f"""
+            WITH {_UTRANS_UND},
+            nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+            lab AS (SELECT node, substr(md5(node), 1, 1) AS label FROM nodes),
+            m2 AS (SELECT count(*) AS m2 FROM und),
+            cut AS (
+              SELECT l1.label, count(*) AS cut_edges
+              FROM und u
+              JOIN lab l1 ON l1.node = u.a
+              JOIN lab l2 ON l2.node = u.b
+              WHERE l1.label <> l2.label
+              GROUP BY l1.label
+            ),
+            volc AS (
+              SELECT lab.label, sum(deg.deg) AS vol
+              FROM deg JOIN lab ON lab.node = deg.node
+              GROUP BY lab.label
+            )
+            SELECT volc.label,
+                   coalesce(cut.cut_edges, 0) AS cut_edges,
+                   volc.vol,
+                   round(CASE WHEN least(volc.vol, m2.m2 - volc.vol) > 0
+                         THEN CAST(coalesce(cut.cut_edges, 0) AS DOUBLE)
+                              / least(volc.vol, m2.m2 - volc.vol)
+                         END, 8) AS conductance8
+            FROM volc LEFT JOIN cut ON cut.label = volc.label
+            CROSS JOIN m2
+        """,
+        "bm25": f"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     string_split({_DOC_NORM}, ' ') AS toks
+              FROM documents
+            ),
+            tf AS (
+              SELECT id, len(toks) AS dl,
+                     len(list_filter(toks, x -> x = 'table')) AS tf_0,
+                     len(list_filter(toks, x -> x = 'join'))  AS tf_1,
+                     len(list_filter(toks, x -> x = 'merge')) AS tf_2
+              FROM base
+            ),
+            st AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                     sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                     sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                     sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+              FROM tf
+            )
+            SELECT id, dl,
+                   (CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS n_matched,
+                   round(
+                     ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0) * tf_0
+                       * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0) * tf_1
+                       * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0) * tf_2
+                       * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                   8) AS bm25_8
+            FROM tf CROSS JOIN st
         """,
         "louvain_round": f"""
             WITH ut AS ({_UTRANS}),

@@ -406,3 +406,70 @@ def modularity_by_label(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("contrib"),
         )
     )
+
+
+def conductance_by_label(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Conductance of each community of a vertex partition:
+    [label, cut_edges, vol, conductance] where
+
+        phi(c) = cut_c / min(vol_c, 2m - vol_c)
+
+    with cut_c = undirected edges with exactly one endpoint labeled c,
+    vol_c = sum of degrees of c's members (Kannan, Vempala & Vetta "On
+    clusterings: good, bad and spectral", JACM 2004 — the standard
+    cluster-quality complement to modularity: low conductance = few
+    escaping edges relative to the smaller side's volume). Graph
+    semantics match ``modularity_by_label``: simple undirected
+    (self-loops dropped, parallel edges collapsed); ``conductance`` is
+    NULL when the denominator is 0 (a label owning ALL volume).
+
+    Plan: identical shape to ``modularity_by_label`` — label both
+    endpoints of the symmetrized edge set (two vertex-keyed hash joins),
+    then each directed copy leaving its community counts its cut edge
+    exactly once, so cut_c is one label-keyed aggregate; vol_c is a
+    degree sum; 2m is a 1-row combine. No wedge joins, scale-safe at any
+    community count."""
+    sym = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    lab = labels.select("node", "label")
+    both = (
+        sym.join(
+            lab.withColumnRenamed("node", "src").withColumnRenamed("label", "ls"),
+            "src",
+        )
+        .join(
+            lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "ld"),
+            "dst",
+        )
+    )
+    cut = (
+        both.filter(F.col("ls") != F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count(F.lit(1)).alias("cut_edges"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    volc = deg.join(lab, "node").groupBy("label").agg(F.sum("deg").alias("vol"))
+    m2_row = sym.agg(F.count(F.lit(1)).alias("m2"))  # 2m directed copies
+    sym.unpersist()
+    denom = F.least(F.col("vol"), F.col("m2") - F.col("vol"))
+    return (
+        volc.join(cut, "label", "left")
+        .crossJoin(m2_row)
+        .select(
+            "label",
+            F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+            "vol",
+            F.when(
+                denom > 0,
+                F.coalesce("cut_edges", F.lit(0)) / denom,
+            ).alias("conductance"),
+        )
+    )

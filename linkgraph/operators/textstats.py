@@ -288,3 +288,85 @@ def unigram_xent(
             F.avg(-F.log("p")).alias("xent"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bounded query
+    term list (Robertson & Zaragoza, "The probabilistic relevance
+    framework: BM25 and beyond", FnTIR 2009):
+
+        score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+                              (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+        idf(t)   = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+    over whitespace tokens of the normalized text (the repo-standard
+    lower/trim/collapse normalization). Returns
+    [id, dl, n_matched, bm25] — the retrieval-quality scorer a
+    training-data pipeline uses for query-targeted corpus selection.
+
+    Plan: ZERO explodes — each term's tf is a vectorized
+    ``size(filter(tokens, x -> x = t))`` column over one scan, corpus
+    statistics (N, avgdl, every df) are ONE 1-row aggregate broadcast
+    back by a literal cross join, and the score is a pure projection.
+    Two passes over the corpus total, no shuffle wider than 1 row —
+    the plan you want at 100 TB for a bounded query vocabulary. (An
+    unbounded/query-table variant would explode + join on term; this
+    operator deliberately asserts the bounded case.)"""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms or len(terms) > 64:
+        raise ValueError("bm25_scores: need 1..64 distinct query terms")
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+
+    def _eq(term):
+        # unary closure: a default-arg lambda would have arity 2 and be
+        # interpreted as pyspark's (element, index) filter form
+        return lambda x: x == F.lit(term)
+
+    base = docs.select(
+        F.col(id_col).alias("id"), F.split(norm, " ").alias("toks")
+    ).select(
+        "id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(stats)
+    contribs = [
+        F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        * F.col(f"tf_{i}")
+        * (k1 + 1.0)
+        / (
+            F.col(f"tf_{i}")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        for i in range(len(terms))
+    ]
+    matched = sum(
+        ((F.col(f"tf_{i}") > 0).cast("int") for i in range(len(terms))),
+        F.lit(0),
+    )
+    score = sum(contribs[1:], contribs[0])
+    return scored.select(
+        "id", "dl", matched.alias("n_matched"), score.alias("bm25")
+    )

@@ -611,3 +611,73 @@ def test_centroid_cosines_vs_numpy(spark, emb):
     # vectors correlate positively with their own cluster mean on average
     # (the synthetic embeddings are weakly clustered: ~0.14 here)
     assert np.mean([got[int(i)] for i in ids]) > 0.0
+
+
+# ---- BM25 ----
+
+def _bm25_replica(texts, terms, k1=1.2, b=0.75):
+    import math
+    import re
+
+    toks = [re.sub(r"\s+", " ", t.strip().lower()).split(" ") for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    df = {t: sum(1 for d in toks if t in d) for t in terms}
+    out = []
+    for d in toks:
+        s = 0.0
+        for t in terms:
+            tf = sum(1 for x in d if x == t)
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(d) / avgdl))
+        out.append(s)
+    return out
+
+
+def test_bm25_matches_replica(spark):
+    texts = [
+        "the fast query engine joins the table",
+        "a slow scan of the table  table",
+        "window functions and aggregates",
+        "query the query planner",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    terms = ["query", "table"]
+    got = {
+        r["id"]: r for r in textstats.bm25_scores(df, terms).collect()
+    }
+    want = _bm25_replica(texts, terms)
+    for i in range(len(texts)):
+        assert got[i]["bm25"] == pytest.approx(want[i], rel=1e-12)
+    # doc 2 matches neither term
+    assert got[2]["n_matched"] == 0 and got[2]["bm25"] == 0.0
+    # doc 3 has tf(query)=2; more matches -> higher than single-tf doc 0's
+    # query contribution alone
+    assert got[3]["n_matched"] == 1
+    # dl counts whitespace-collapsed tokens ("table  table" is 2 tokens)
+    assert got[1]["dl"] == 7
+
+
+def test_bm25_term_validation(spark, docs):
+    with pytest.raises(ValueError):
+        textstats.bm25_scores(docs, [])
+    with pytest.raises(ValueError):
+        textstats.bm25_scores(docs, [f"t{i}" for i in range(65)])
+    # duplicate terms dedupe rather than double-count
+    one = textstats.bm25_scores(docs.limit(50), ["table"])
+    two = textstats.bm25_scores(docs.limit(50), ["table", "table"])
+    a = {r["id"]: r["bm25"] for r in one.collect()}
+    b = {r["id"]: r["bm25"] for r in two.collect()}
+    assert a == b
+
+
+def test_bm25_rare_term_outranks_common(spark, docs):
+    # idf is monotone-decreasing in df: a term present in every doc adds
+    # near-zero; ranking is driven by the rarer term
+    rows = textstats.bm25_scores(docs, ["merge"]).collect()
+    hit = [r for r in rows if r["n_matched"] == 1]
+    miss = [r for r in rows if r["n_matched"] == 0]
+    assert hit and miss
+    assert min(r["bm25"] for r in hit) > max(r["bm25"] for r in miss)

@@ -419,3 +419,63 @@ def test_trussness_triangle_free(spark):
         for r in truss_decomposition(fx.edges_df(spark, src, dst)).collect()
     }
     assert set(t.values()) == {2}  # every edge exactly the trivial 2-truss
+
+
+# ---- conductance (Kannan-Vempala-Vetta cluster quality) ----
+
+def test_conductance_matches_replica_and_networkx(spark):
+    from linkgraph.operators.structure import conductance_by_label
+
+    src, dst, n = fx.karate_club()
+    e = fx.edges_df(spark, src, dst)
+    faction1 = {0, 1, 2, 3, 4, 5, 6, 7, 10, 11, 12, 13, 16, 17, 19, 21}
+    labels = spark.createDataFrame(
+        [(v, 1 if v in faction1 else 2) for v in range(n)], "node long, label int"
+    )
+    rows = {r["label"]: r for r in conductance_by_label(e, labels).collect()}
+    und = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    lab = {v: (1 if v in faction1 else 2) for v in range(n)}
+    m2 = 2 * len(und)
+    for c in (1, 2):
+        cut = sum(1 for a, b in und if lab[a] != lab[b])
+        vol = sum(d for v, d in deg.items() if lab[v] == c)
+        assert rows[c]["cut_edges"] == cut
+        assert rows[c]["vol"] == vol
+        assert rows[c]["conductance"] == pytest.approx(
+            cut / min(vol, m2 - vol), abs=1e-12
+        )
+    nx = pytest.importorskip("networkx")
+    G = nx.Graph(list(und))
+    s1 = {v for v in lab if lab[v] == 1}
+    assert rows[1]["conductance"] == pytest.approx(
+        nx.conductance(G, s1), abs=1e-9
+    )
+
+
+def test_conductance_extremes(spark):
+    from linkgraph.operators.structure import conductance_by_label
+
+    # two triangles joined by a single bridge edge (2-5)
+    src = [0, 1, 2, 3, 4, 5, 2]
+    dst = [1, 2, 0, 4, 5, 3, 5]
+    e = fx.edges_df(spark, src, dst)
+    half = spark.createDataFrame(
+        [(v, 1 if v < 3 else 2) for v in range(6)], "node long, label int"
+    )
+    rows = {r["label"]: r for r in conductance_by_label(e, half).collect()}
+    # each triangle: vol = 2+2+3 = 7, cut = 1, 2m = 14 -> phi = 1/7
+    for c in (1, 2):
+        assert rows[c]["cut_edges"] == 1
+        assert rows[c]["vol"] == 7
+        assert rows[c]["conductance"] == pytest.approx(1 / 7, abs=1e-12)
+    # one community owning everything: denominator 0 -> NULL
+    one = spark.createDataFrame(
+        [(v, 1) for v in range(6)], "node long, label int"
+    )
+    row = conductance_by_label(e, one).collect()
+    assert len(row) == 1 and row[0]["cut_edges"] == 0
+    assert row[0]["conductance"] is None
