@@ -114,6 +114,17 @@ def main() -> None:
         "trussness_r2": "truss h-index round: two composite-key joins "
         "against the STATIC triangle incidence (wedge join paid once, "
         "not per round) + per-edge window rank + max agg",
+        "louvain_round": "Louvain local move: class-filtered gather "
+        "join + zero-row union BEFORE the (node,cand) partial+final "
+        "agg (no anti-join), community-degree agg, min_by struct "
+        "argmax as a hash aggregate (no window sort)",
+        "conductance": "conductance: two label joins on the symmetric "
+        "edge set, label-keyed cut/vol aggregates, 1-row 2m broadcast "
+        "cross join — no wedge join",
+        "bm25": "BM25: zero explodes — per-term tf as size(filter()) "
+        "projections over ONE parquet scan (only doc_id+text read), "
+        "1-row corpus-stats aggregate broadcast back, score as a "
+        "pure projection",
     }
     sections = []
     for name, why in picks.items():
