@@ -1295,6 +1295,23 @@ def q_modularity(spark, sf_dir):
     )
 
 
+def q_bowtie(spark, sf_dir):
+    """Broder et al. 2000 bow-tie decomposition (operators/bowtie.py) of
+    the per-user transition graph: CORE = largest SCC (ties by min
+    label), IN/OUT = backward/forward set-closures from the core,
+    TENDRIL = weakly-attached remainder, DISCONNECTED = other weak
+    components. Composition of three certified operators (SCC, weak
+    components, frontier BFS); value-checked against a DuckDB
+    recursive-closure oracle; python/networkx parity in
+    tests/test_bowtie.py."""
+    from linkgraph.operators.bowtie import bowtie_decomposition
+
+    res = bowtie_decomposition(_user_transition_edges(spark, sf_dir))
+    return res.classes.select(
+        F.col("node").alias("node_name"), "bowtie"
+    )
+
+
 def q_conductance(spark, sf_dir):
     """Per-community conductance (operators/structure.py
     conductance_by_label; Kannan-Vempala-Vetta cluster quality) of the
@@ -1848,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_round": q_louvain_round,
         "conductance": q_conductance,
         "bm25": q_bm25,
+        "bowtie": q_bowtie,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -2837,6 +2855,60 @@ def oracle_sql() -> dict[str, str]:
                    ) AS contrib8
             FROM degc LEFT JOIN intra ON intra.label = degc.label
             CROSS JOIN mm
+        """,
+        "bowtie": f"""
+            WITH RECURSIVE raw AS ({_UTRANS}),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+            reach(s, t) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.t
+            ),
+            mutual AS (
+              SELECT a.s AS u, a.t AS v
+              FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+            ),
+            comp AS (
+              SELECT n.node,
+                     least(n.node, coalesce(min(m.v), n.node)) AS component
+              FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+              GROUP BY n.node
+            ),
+            core_lab AS (
+              SELECT component FROM (
+                SELECT component, count(*) AS n FROM comp GROUP BY component
+              ) ORDER BY n DESC, component ASC LIMIT 1
+            ),
+            core AS (
+              SELECT node FROM comp
+              WHERE component = (SELECT component FROM core_lab)
+            ),
+            fwd AS (
+              SELECT DISTINCT r.t AS node
+              FROM reach r JOIN core c ON c.node = r.s
+            ),
+            bwd AS (
+              SELECT DISTINCT r.s AS node
+              FROM reach r JOIN core c ON c.node = r.t
+            ),
+            und AS (
+              SELECT src AS a, dst AS b FROM e
+              UNION SELECT dst, src FROM e
+            ),
+            weak(node) AS (
+              SELECT node FROM core
+              UNION
+              SELECT u.b FROM weak w JOIN und u ON u.a = w.node
+            )
+            SELECT c.node AS node_name,
+                   CASE WHEN c.component = (SELECT component FROM core_lab)
+                          THEN 'CORE'
+                        WHEN c.node IN (SELECT node FROM bwd) THEN 'IN'
+                        WHEN c.node IN (SELECT node FROM fwd) THEN 'OUT'
+                        WHEN c.node IN (SELECT node FROM weak) THEN 'TENDRIL'
+                        ELSE 'DISCONNECTED' END AS bowtie
+            FROM comp c
         """,
         "conductance": f"""
             WITH {_UTRANS_UND},
