@@ -1295,6 +1295,21 @@ def q_modularity(spark, sf_dir):
     )
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/textstats.py tfidf_top_terms) — keyword extraction over
+    an UNBOUNDED vocabulary: one explode + partial/final count agg, df
+    from the same counted table, vocabulary-keyed join back, per-doc
+    top-k window with (score desc, term asc) determinism. Value-checked
+    against a DuckDB unnest + row_number twin."""
+    from linkgraph.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=3).select(
+        "id", "term", "rank", F.round("tfidf", 8).alias("tfidf8")
+    )
+
+
 def q_bowtie(spark, sf_dir):
     """Broder et al. 2000 bow-tie decomposition (operators/bowtie.py) of
     the per-user transition graph: CORE = largest SCC (ties by min
@@ -1866,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance": q_conductance,
         "bm25": q_bm25,
         "bowtie": q_bowtie,
+        "tfidf_topk": q_tfidf_topk,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -2855,6 +2871,29 @@ def oracle_sql() -> dict[str, str]:
                    ) AS contrib8
             FROM degc LEFT JOIN intra ON intra.label = degc.label
             CROSS JOIN mm
+        """,
+        "tfidf_topk": f"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(string_split({_DOC_NORM}, ' ')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.id, tf.term,
+                     tf.tf * (ln((1.0 + nn.n_docs) / (1.0 + dfq.df)) + 1.0)
+                       AS tfidf
+              FROM tf JOIN dfq USING (term) CROSS JOIN nn
+            )
+            SELECT id, term, rank, round(tfidf, 8) AS tfidf8 FROM (
+              SELECT id, term, tfidf,
+                     row_number() OVER (
+                       PARTITION BY id ORDER BY tfidf DESC, term ASC
+                     ) AS rank
+              FROM scored
+            ) WHERE rank <= 3
         """,
         "bowtie": f"""
             WITH RECURSIVE raw AS ({_UTRANS}),

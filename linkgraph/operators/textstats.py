@@ -370,3 +370,60 @@ def bm25_scores(
     return scored.select(
         "id", "dl", matched.alias("n_matched"), score.alias("bm25")
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (the sklearn-standard smoothing: idf = ln((1+N)/(1+df)) + 1,
+    score = tf_count · idf) over whitespace tokens of the normalized
+    text — the keyword-extraction / topic-labeling primitive of a
+    corpus pipeline. Deterministic ties: (score desc, term asc).
+    Returns [id, term, rank, tfidf].
+
+    Plan: one explode to (doc, term) with a partial+final count
+    aggregate (the only corpus-wide shuffle), document frequency as a
+    second aggregate over the SAME counted table (one row per distinct
+    (doc, term) already — no re-explode), a term-keyed join back
+    (vocabulary-sized right side — broadcast material at scale), and a
+    per-doc top-k window. Unlike ``bm25_scores`` (bounded query
+    vocabulary, zero explodes) this handles the UNBOUNDED vocabulary
+    case, so the explode is the correct plan."""
+    from pyspark.sql import Window
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(F.split(norm, " ")).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_row = docs.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(n_row)
+        .select(
+            "id",
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (1.0 + F.col("n_docs")) / (1.0 + F.col("df"))
+                    )
+                    + 1.0
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "rank", "tfidf")
+    )

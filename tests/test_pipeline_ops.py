@@ -681,3 +681,44 @@ def test_bm25_rare_term_outranks_common(spark, docs):
     miss = [r for r in rows if r["n_matched"] == 0]
     assert hit and miss
     assert min(r["bm25"] for r in hit) > max(r["bm25"] for r in miss)
+
+
+# ---- TF-IDF top-k terms ----
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    texts = ["apple banana apple", "banana cherry", "cherry cherry date"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = textstats.tfidf_top_terms(df, k=2).collect()
+    got = {(r["id"], r["rank"]): (r["term"], r["tfidf"]) for r in rows}
+
+    def idf(dfreq):
+        return math.log(4.0 / (1.0 + dfreq)) + 1.0
+
+    # doc 0: apple tf=2 df=1 -> 2*idf(1); banana tf=1 df=2 -> idf(2)
+    assert got[(0, 1)][0] == "apple"
+    assert got[(0, 1)][1] == pytest.approx(2 * idf(1), rel=1e-12)
+    assert got[(0, 2)][0] == "banana"
+    # doc 1: banana and cherry both tf=1 df=2 — exact tie, term asc
+    assert got[(1, 1)][0] == "banana" and got[(1, 2)][0] == "cherry"
+    assert got[(1, 1)][1] == got[(1, 2)][1]
+    # doc 2: cherry tf=2 beats date tf=1 df=1
+    assert got[(2, 1)][0] == "cherry"
+    assert got[(2, 2)][0] == "date"
+    # k respected
+    assert all(r["rank"] <= 2 for r in rows) and len(rows) == 6
+
+
+def test_tfidf_top_terms_repartition_invariant(spark, docs):
+    a = {
+        (r["id"], r["rank"]): r["term"]
+        for r in textstats.tfidf_top_terms(docs, k=3).collect()
+    }
+    b = {
+        (r["id"], r["rank"]): r["term"]
+        for r in textstats.tfidf_top_terms(docs.repartition(13), k=3).collect()
+    }
+    assert a == b and len(a) > 0
