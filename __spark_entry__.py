@@ -1295,6 +1295,22 @@ def q_modularity(spark, sf_dir):
     )
 
 
+def q_cms_hh(spark, sf_dir):
+    """Top-10 heavy hitters by Count-Min Sketch estimate
+    (operators/sketches.py; Cormode-Muthukrishnan 2005) over document
+    tokens at depth 3 × width 256 — deliberately narrow so collisions
+    OCCUR at this SF and the oracle certifies the sketch's exact
+    collision arithmetic, not just happy-path counts. md5-derived hash
+    family -> bit-reproducible in DuckDB; one-sided error, merge, and
+    exactness-when-wide guarantees pinned in tests/test_sketches.py."""
+    from linkgraph.operators.sketches import cms_heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    items = docs.select(F.explode(F.split(norm, " ")).alias("item"))
+    return cms_heavy_hitters(items, k=10, depth=3, width=256)
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per document by smoothed TF-IDF
     (operators/textstats.py tfidf_top_terms) — keyword extraction over
@@ -1882,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "bowtie": q_bowtie,
         "tfidf_topk": q_tfidf_topk,
+        "cms_hh": q_cms_hh,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -2871,6 +2888,39 @@ def oracle_sql() -> dict[str, str]:
                    ) AS contrib8
             FROM degc LEFT JOIN intra ON intra.label = degc.label
             CROSS JOIN mm
+        """,
+        "cms_hh": f"""
+            WITH toks AS (
+              SELECT unnest(string_split({_DOC_NORM}, ' ')) AS item
+              FROM documents
+            ),
+            rows_ AS (SELECT unnest([0, 1, 2]) AS row_idx),
+            cells AS (
+              SELECT row_idx,
+                     (('0x' || substr(md5(CAST(row_idx AS VARCHAR) || ':'
+                        || item), 1, 8))::BIGINT) % 256 AS col_idx,
+                     count(*) AS c
+              FROM toks CROSS JOIN rows_
+              GROUP BY 1, 2
+            ),
+            cand AS (SELECT DISTINCT item FROM toks),
+            probes AS (
+              SELECT item, row_idx,
+                     (('0x' || substr(md5(CAST(row_idx AS VARCHAR) || ':'
+                        || item), 1, 8))::BIGINT) % 256 AS col_idx
+              FROM cand CROSS JOIN rows_
+            ),
+            est AS (
+              SELECT p.item, min(coalesce(cells.c, 0)) AS est
+              FROM probes p
+              LEFT JOIN cells USING (row_idx, col_idx)
+              GROUP BY p.item
+            )
+            SELECT item, est, rank FROM (
+              SELECT item, est,
+                     row_number() OVER (ORDER BY est DESC, item ASC) AS rank
+              FROM est
+            ) WHERE rank <= 10
         """,
         "tfidf_topk": f"""
             WITH toks AS (
