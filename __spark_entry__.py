@@ -1615,6 +1615,25 @@ def q_wrandwalk_k3(spark, sf_dir):
     )
 
 
+def q_node2vec_k3(spark, sf_dir):
+    """Three deterministic node2vec-style SECOND-ORDER biased walk steps
+    (operators/walks.py node2vec_walks; Grover-Leskovec KDD'16) on the
+    per-user transition graph with (w_return, w_common, w_far) =
+    (1, 4, 2) i.e. (p, q) = (4, 2): uniform min-hash first step, then
+    exact integer slot sampling over return/near/far biases. Like
+    wrandwalk_k3, fully value-checkable — the oracle unrolls the three
+    steps into chained CTEs with the identical md5 draws and slot
+    arithmetic."""
+    from linkgraph.operators.walks import node2vec_walks
+
+    res = node2vec_walks(_user_transition_edges(spark, sf_dir), walk_len=3)
+    return res.select(
+        F.col("start").alias("start_node"),
+        "step",
+        F.col("node").alias("node_name"),
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (operators/asof.py — union + one window pass,
     no range-join explosion): each purchase event picks up the most recent
@@ -1899,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "tfidf_topk": q_tfidf_topk,
         "cms_hh": q_cms_hh,
+        "node2vec_k3": q_node2vec_k3,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -2642,6 +2662,73 @@ def _wrandwalk_unrolled_sql(k: int, seed: str = "ww0") -> str:
     """
 
 
+def _node2vec_unrolled_sql(
+    k: int,
+    wr: int = 1,
+    wc: int = 4,
+    wf: int = 2,
+    seed: str = "n2v0",
+) -> str:
+    """node2vec second-order walks unrolled into k chained CTE steps
+    (operators/walks.py node2vec_walks semantics): uniform md5
+    tournament at step 1, then per-candidate integer biases
+    (return wr / near wc / far wf via the symmetrized edge set) drawn by
+    the shared 48-bit md5 slice and cumulative slots ordered by the
+    candidate id."""
+    steps = []
+    outs = ["SELECT node AS start, 0 AS step, node FROM starts"]
+    if k >= 1:
+        steps.append(f"""
+            w1 AS (
+              SELECT start, prev, node FROM (
+                SELECT s.node AS start, s.node AS prev, e.dst AS node,
+                       row_number() OVER (
+                         PARTITION BY s.node
+                         ORDER BY md5(s.node || '|{seed}|1|' || e.dst)
+                       ) AS rn
+                FROM starts s JOIN e ON e.src = s.node
+              ) WHERE rn = 1
+            )""")
+        outs.append("SELECT start, 1 AS step, node FROM w1")
+    for i in range(2, k + 1):
+        steps.append(f"""
+            w{i} AS (
+              SELECT start, cn AS prev, nxt AS node FROM (
+                SELECT f.start, f.cn, f.nxt, f.w,
+                       sum(f.w) OVER (PARTITION BY f.start ORDER BY f.nxt
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(f.w) OVER (PARTITION BY f.start) AS tot,
+                       ('0x' || substr(md5(f.start || '|{seed}|{i}'), 1, 12)
+                        )::BIGINT AS u
+                FROM (
+                  SELECT wk.start, wk.node AS cn, e.dst AS nxt,
+                         CASE WHEN e.dst = wk.prev THEN {wr}
+                              WHEN u2.a IS NOT NULL THEN {wc}
+                              ELSE {wf} END AS w
+                  FROM w{i - 1} wk
+                  JOIN e ON e.src = wk.node
+                  LEFT JOIN und u2 ON u2.a = wk.prev AND u2.b = e.dst
+                ) f
+              ) WHERE cum - w <= u % tot AND u % tot < cum
+            )""")
+        outs.append(f"SELECT start, {i} AS step, node FROM w{i}")
+    return f"""
+        WITH raw AS ({_UTRANS}),
+        e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        und AS (
+          SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+        ),
+        starts AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+          )
+        ),
+        {",".join(steps)},
+        walk AS ({" UNION ALL ".join(outs)})
+        SELECT start AS start_node, step, node AS node_name FROM walk
+    """
+
+
 def _betweenness_unrolled_sql(levels: int = 8, n_sources: int = 4) -> str:
     """Brandes betweenness unrolled into fixed-level CTEs
     (operators/betweenness.py semantics): forward levels f1..fL carry σ
@@ -2839,6 +2926,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_r2": _ktruss_unrolled_sql(5, 2),
         "randwalk_k3": _randwalk_unrolled_sql(3),
         "wrandwalk_k3": _wrandwalk_unrolled_sql(3),
+        "node2vec_k3": _node2vec_unrolled_sql(3),
         "betweenness_k4": _betweenness_unrolled_sql(8, 4),
         "sssp_r4": _sssp_unrolled_sql(4),
         "mis_r2": _mis_unrolled_sql(2),

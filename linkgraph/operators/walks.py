@@ -138,3 +138,140 @@ def weighted_random_walks(
         )
         frames.append(cur.select("start", F.lit(i).alias("step"), "node"))
     return reduce(DataFrame.unionAll, frames)
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_far: int = 2,
+    seed: str = "n2v0",
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic node2vec-style SECOND-ORDER biased walks (Grover &
+    Leskovec, "node2vec: Scalable Feature Learning for Networks",
+    KDD'16) on the simple directed graph — the corpus generator behind
+    graph-embedding training. Step 1 is uniform (the same min-hash
+    tournament as ``random_walks``); from step 2 each candidate next
+    hop x of the state (prev -> cur -> x) carries an INTEGER bias
+
+        w_return  if x == prev                     (node2vec 1/p)
+        w_common  if prev->x or x->prev is an edge (distance 1, bias 1)
+        w_far     otherwise                        (node2vec 1/q)
+
+    and the hop is drawn by exact integer slot sampling from the shared
+    48-bit draw u = md5(start|seed|step): P(x) = bias_x / Σ bias
+    EXACTLY, with (p, q) = (w_common/w_return, w_common/w_far). Like
+    the other walk operators this is rand()-free — stable under
+    re-run/retries/repartitioning and value-checkable in ANSI SQL
+    (q_node2vec_k3).
+
+    Plan per step: frontier ⋈ out-edges (fan-out bounded by the live
+    frontier's out-degree), one LEFT join against the symmetrized edge
+    set to classify the distance (edge-keyed — the join node2vec's
+    alias-table preprocessing also pays, here resolved per step instead
+    of materializing O(Σ deg²) alias entries), and one per-walk window
+    pass over the cumulative slots. Returns [start, step, node]; dead
+    ends stop early."""
+    if walk_len < 0:
+        raise ValueError("walk_len must be >= 0")
+    if min(w_return, w_common, w_far) < 1:
+        raise ValueError("bias weights must be positive integers")
+    from pyspark.sql import Window as W
+
+    # simple directed graph: self-loops dropped (a self-hop is neither a
+    # return nor an exploration in the node2vec taxonomy)
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    if starts is None:
+        starts = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    cur = starts.select(
+        F.col("node").alias("start"),
+        F.lit(None).cast(starts.schema["node"].dataType).alias("prev"),
+        F.col("node").alias("node"),
+    )
+    frames = [cur.select("start", F.lit(0).alias("step"), "node")]
+    for i in range(1, walk_len + 1):
+        cand = cur.join(e, cur["node"] == e["src"]).select(
+            "start", "prev", cur["node"].alias("cn"), F.col("dst").alias("nxt")
+        )
+        if i == 1:
+            hop = cand.withColumn(
+                "h",
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("start"), F.lit(seed), F.lit("1"),
+                        F.col("nxt"),
+                    )
+                ),
+            )
+            cur = hop.groupBy("start").agg(
+                F.expr("min_by(struct(cn, nxt), h)").alias("s")
+            ).select(
+                "start", F.col("s.cn").alias("prev"),
+                F.col("s.nxt").alias("node"),
+            )
+        else:
+            flagged = cand.join(
+                und.select(
+                    F.col("a").alias("prev"), F.col("b").alias("nxt"),
+                    F.lit(1).alias("near"),
+                ),
+                ["prev", "nxt"],
+                "left",
+            ).select(
+                "start", "prev", "cn", "nxt",
+                F.when(F.col("nxt") == F.col("prev"), F.lit(w_return))
+                .when(F.col("near") == 1, F.lit(w_common))
+                .otherwise(F.lit(w_far))
+                .cast("long")
+                .alias("w"),
+            )
+            u = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("start"), F.lit(seed), F.lit(str(i))
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            win = W.partitionBy("start").orderBy("nxt")
+            slot = (
+                flagged.withColumn(
+                    "cum",
+                    F.sum("w").over(win.rowsBetween(W.unboundedPreceding, 0)),
+                )
+                .withColumn(
+                    "tot",
+                    F.sum("w").over(
+                        win.rowsBetween(
+                            W.unboundedPreceding, W.unboundedFollowing
+                        )
+                    ),
+                )
+                .withColumn("u", u)
+            )
+            cur = slot.filter(
+                ((F.col("cum") - F.col("w")) <= F.col("u") % F.col("tot"))
+                & (F.col("u") % F.col("tot") < F.col("cum"))
+            ).select(
+                "start", F.col("cn").alias("prev"), F.col("nxt").alias("node")
+            )
+        frames.append(cur.select("start", F.lit(i).alias("step"), "node"))
+    return reduce(DataFrame.unionAll, frames)

@@ -181,3 +181,102 @@ def test_weighted_walks_deterministic_and_dup_edges_combined(spark):
     a = _collect(weighted_random_walks(d1, 2))
     b = _collect(weighted_random_walks(d2.repartition(7), 2))
     assert a == b
+
+
+# ---- node2vec second-order biased walks ----
+
+def _n2v_python(src, dst, walk_len, w_return=1, w_common=4, w_far=2,
+                seed="n2v0"):
+    nbrs = {}
+    und = set()
+    nodes = set()
+    for u, v in zip(src, dst):
+        if u == v:
+            continue
+        nbrs.setdefault(u, set()).add(v)
+        und.add((u, v))
+        und.add((v, u))
+        nodes.update((u, v))
+    out = {}
+    for s in sorted(nodes):
+        out[(s, 0)] = s
+        cands = nbrs.get(s)
+        if not cands:
+            continue
+        cur = min(
+            cands,
+            key=lambda d: hashlib.md5(
+                f"{s}|{seed}|1|{d}".encode()
+            ).hexdigest(),
+        )
+        prev = s
+        out[(s, 1)] = cur
+        for i in range(2, walk_len + 1):
+            cands = sorted(nbrs.get(cur, ()))
+            if not cands:
+                break
+            ws = [
+                w_return if x == prev
+                else w_common if (prev, x) in und
+                else w_far
+                for x in cands
+            ]
+            u48 = int(
+                hashlib.md5(f"{s}|{seed}|{i}".encode()).hexdigest()[:12], 16
+            )
+            slot = u48 % sum(ws)
+            cum = 0
+            for x, w in zip(cands, ws):
+                cum += w
+                if slot < cum:
+                    prev, cur = cur, x
+                    break
+            out[(s, i)] = cur
+    return out
+
+
+def test_node2vec_matches_python_replica(spark):
+    from linkgraph.operators.walks import node2vec_walks
+
+    src, dst, _ = fx.karate_club()
+    got = _collect(node2vec_walks(fx.edges_df(spark, src, dst), walk_len=4))
+    want = _n2v_python(src, dst, 4)
+    assert got == want
+
+
+def test_node2vec_bias_extremes(spark):
+    from linkgraph.operators.walks import node2vec_walks
+
+    # path 0-1-2 plus a triangle edge 0-2: from state (0 -> 1) the
+    # candidates are {0 (return), 2 (common: 0-2 edge exists)}
+    src = [0, 1, 0, 1, 2, 2]
+    dst = [1, 2, 2, 0, 1, 0]
+    e = fx.edges_df(spark, src, dst)
+    # huge return weight -> the walk must bounce back to prev
+    got = _collect(node2vec_walks(e, walk_len=2, w_return=1_000_000,
+                                  w_common=1, w_far=1))
+    for s in (0, 1, 2):
+        assert got[(s, 2)] == s  # step-2 returns to the start
+    # replica agreement on asymmetric weights too
+    got2 = _collect(node2vec_walks(e, walk_len=3, w_return=2, w_common=5,
+                                   w_far=3))
+    want2 = _n2v_python(src, dst, 3, 2, 5, 3)
+    assert got2 == want2
+
+
+def test_node2vec_deterministic_and_seeded(spark):
+    from linkgraph.operators.walks import node2vec_walks
+
+    src, dst, _ = fx.two_components()
+    e = fx.edges_df(spark, src, dst)
+    a = _collect(node2vec_walks(e, walk_len=3))
+    b = _collect(node2vec_walks(e.repartition(7), walk_len=3))
+    assert a == b
+    # seed sensitivity needs out-degree > 1 (two_components is a union
+    # of directed cycles, where every step has a single candidate) —
+    # probe it on karate
+    ks, kd, _ = fx.karate_club()
+    ke = fx.edges_df(spark, ks, kd)
+    c = _collect(node2vec_walks(ke, walk_len=3))
+    d = _collect(node2vec_walks(ke, walk_len=3, seed="other"))
+    assert c != d
