@@ -1295,6 +1295,23 @@ def q_modularity(spark, sf_dir):
     )
 
 
+def q_emb_cov(spark, sf_dir):
+    """Population covariance of the 64-dim embedding column
+    (operators/embeddings.py embedding_covariance): one mapInArrow pass
+    of float64 batch GEMM partials (d²+d+1 rows per partition), one
+    tiny hash combine, covariance as a d²-row projection — the
+    tall-and-skinny reduction PCA/whitening sits on. Rounded to 6
+    decimals because partial-sum order differs from DuckDB's sequential
+    sum at ~1e-13; eigen/projection exactness vs numpy is pinned in
+    tests/test_embeddings.py."""
+    from linkgraph.operators.embeddings import embedding_covariance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_covariance(emb).select(
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov6")
+    )
+
+
 def q_cms_hh(spark, sf_dir):
     """Top-10 heavy hitters by Count-Min Sketch estimate
     (operators/sketches.py; Cormode-Muthukrishnan 2005) over document
@@ -1919,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "cms_hh": q_cms_hh,
         "node2vec_k3": q_node2vec_k3,
+        "emb_cov": q_emb_cov,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -2976,6 +2994,28 @@ def oracle_sql() -> dict[str, str]:
                    ) AS contrib8
             FROM degc LEFT JOIN intra ON intra.label = degc.label
             CROSS JOIN mm
+        """,
+        "emb_cov": """
+            WITH idx AS (SELECT unnest(range(64)) AS i),
+            nn AS (SELECT count(*) AS n FROM embeddings),
+            m AS (
+              SELECT i.i,
+                     sum(CAST(embedding[i.i + 1] AS DOUBLE)) / nn.n AS mean
+              FROM embeddings CROSS JOIN idx i CROSS JOIN nn
+              GROUP BY i.i, nn.n
+            ),
+            g AS (
+              SELECT a.i AS i, b.i AS j,
+                     sum(CAST(embedding[a.i + 1] AS DOUBLE)
+                         * CAST(embedding[b.i + 1] AS DOUBLE)) AS s
+              FROM embeddings CROSS JOIN idx a CROSS JOIN idx b
+              GROUP BY a.i, b.i
+            )
+            SELECT g.i, g.j,
+                   round(g.s / nn.n - mi.mean * mj.mean, 6) + 0.0 AS cov6
+            FROM g CROSS JOIN nn
+            JOIN m mi ON mi.i = g.i
+            JOIN m mj ON mj.i = g.j
         """,
         "cms_hh": f"""
             WITH toks AS (

@@ -1,0 +1,175 @@
+"""Embedding-matrix statistics — covariance and PCA.
+
+The dimensionality-reduction / whitening preprocessing of an embedding
+pipeline (dedup thresholds, ANN cell training, and drift monitoring all
+consume these). The data matrix is tall-and-skinny (N rows × d dims,
+d ≤ a few hundred), so the right distributed plan is the classic
+one-pass partial-sum reduction:
+
+* each Arrow batch contributes (n, Σx, ΣxxT) computed by a float64 GEMM
+  over the batch — zero per-row Python, no N×d shuffle;
+* partials flatten to at most d² + d + 1 rows PER PARTITION, combined
+  by one tiny hash aggregate (the same constant-size-state shape as the
+  Count-Min sketch build);
+* covariance C = ΣxxT/n − mean·meanT is a projection over d² rows.
+
+The d×d eigenproblem is driver-side numpy ``eigh`` — d² doubles, the
+one part of PCA that is NOT data-sized. Signs are canonicalized (first
+nonzero component of each eigenvector made positive) so results are
+engine- and LAPACK-order-deterministic. Projection back over the data
+is one broadcast d×k matmul per Arrow batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _moment_sums(emb: DataFrame, vec_col: str) -> DataFrame:
+    """One-pass raw moments as [i, j, v]: (i>=0, j>=0) = Σ x_i x_j;
+    (i>=0, j=-1) = Σ x_i; (-1, -1) = row count. d² + d + 1 rows."""
+
+    def partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        n = 0
+        s = None
+        c = None
+        for b in batches:
+            tab = pa.Table.from_batches([b])
+            x = np.asarray(
+                [v.as_py() for v in tab.column(vec_col)], dtype=np.float64
+            )
+            if x.size == 0:
+                continue
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            c = g if c is None else c + g
+        if n == 0:
+            return
+        d = s.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pa.RecordBatch.from_pydict(
+            {
+                "i": ii.ravel().tolist() + list(range(d)) + [-1],
+                "j": jj.ravel().tolist() + [-1] * d + [-1],
+                "v": c.ravel().tolist() + s.tolist() + [float(n)],
+            }
+        )
+
+    return (
+        emb.select(vec_col)
+        .mapInArrow(partials, "i long, j long, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+
+
+def embedding_covariance(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Population covariance of the embedding column: [i, j, cov] with
+    d² rows, C_ij = E[x_i x_j] − E[x_i]E[x_j] in float64. One pass over
+    the data, one d²-keyed combine."""
+    sums = _moment_sums(emb, vec_col)
+    n_row = sums.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("n")
+    )
+    means = (
+        sums.filter((F.col("i") >= 0) & (F.col("j") == -1))
+        .crossJoin(n_row)
+        .select("i", (F.col("v") / F.col("n")).alias("mean"))
+    )
+    return (
+        sums.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+        .crossJoin(n_row)
+        .join(means.select(F.col("i").alias("i"), F.col("mean").alias("mi")), "i")
+        .join(means.select(F.col("i").alias("j"), F.col("mean").alias("mj")), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("v") / F.col("n") - F.col("mi") * F.col("mj")).alias("cov"),
+        )
+    )
+
+
+@dataclass
+class PCAResult:
+    projected: DataFrame  # [id, proj: array<double>] — k-dim scores
+    components: list  # k rows of d floats (sign-canonical eigenvectors)
+    explained_variance: list  # k eigenvalues, descending
+
+
+def embedding_pca(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PCAResult:
+    """Top-k principal components of the embedding column. One
+    distributed pass collects the d² + d + 1 moment sums; the d×d
+    ``eigh`` runs on the driver (data-size-independent); projection is
+    a broadcast matmul per Arrow batch: proj = (x − mean) @ Vk."""
+    import numpy as np
+
+    rows = _moment_sums(emb, vec_col).collect()
+    if not rows:
+        raise ValueError("embedding_pca: empty input")
+    d = max(r["i"] for r in rows) + 1
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}]")
+    n = 0.0
+    s = np.zeros(d)
+    G = np.zeros((d, d))
+    for r in rows:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            s[r["i"]] = r["v"]
+        else:
+            G[r["i"], r["j"]] = r["v"]
+    mean = s / n
+    C = G / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    evals = vals[order]
+    V = vecs[:, order]
+    # canonical signs: first component with |v| > 1e-12 made positive
+    for c in range(k):
+        nz = np.nonzero(np.abs(V[:, c]) > 1e-12)[0]
+        if nz.size and V[nz[0], c] < 0:
+            V[:, c] = -V[:, c]
+
+    Vb = V.copy()
+    mb = mean.copy()
+
+    def project(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            tab = pa.Table.from_batches([b])
+            ids = tab.column(id_col).to_pylist()
+            if not ids:
+                continue
+            x = np.asarray(
+                [v.as_py() for v in tab.column(vec_col)], dtype=np.float64
+            )
+            p = (x - mb) @ Vb
+            yield pa.RecordBatch.from_pydict(
+                {"id": ids, "proj": [row.tolist() for row in p]}
+            )
+
+    projected = emb.select(id_col, vec_col).mapInArrow(
+        project, "id long, proj array<double>"
+    )
+    return PCAResult(
+        projected=projected,
+        components=[V[:, c].tolist() for c in range(k)],
+        explained_variance=evals.tolist(),
+    )
