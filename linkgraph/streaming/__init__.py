@@ -22,3 +22,7 @@ from linkgraph.streaming.rank import (  # noqa: F401
     read_rank_table,
     stream_pagerank_maintenance,
 )
+from linkgraph.streaming.sketches import (  # noqa: F401
+    read_cms_table,
+    stream_cms_totals,
+)

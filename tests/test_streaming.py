@@ -377,3 +377,80 @@ def test_tri_delta_inclusion_exclusion(spark):
     k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
     n, d = _tri_delta(spark, canon([]).limit(0), canon(k4))
     assert (n, d) == (6, 4)
+
+
+def test_stream_cms_totals_incremental(spark, tmp_path):
+    """Streaming CMS maintenance: drain two file drops through the SAME
+    checkpoint; the maintained counter table must equal the batch
+    cms_build over everything seen (cell-wise — the additivity the
+    sketch is designed around), and point estimates through the
+    maintained table must match batch estimates."""
+    from linkgraph.operators.sketches import cms_build, cms_estimate
+    from linkgraph.streaming import read_cms_table, stream_cms_totals
+
+    src = str(tmp_path / "toks")
+    table = str(tmp_path / "cms_table")
+    ckpt = str(tmp_path / "cms_ckpt")
+    os.makedirs(src)
+
+    words1 = ["alpha"] * 9 + ["beta"] * 4 + [f"x{i}" for i in range(20)]
+    spark.createDataFrame([(w,) for w in words1], "item string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    def drain():
+        items = (
+            spark.readStream.schema("item string").parquet(src)
+        )
+        q = stream_cms_totals(
+            items, table, ckpt, depth=3, width=32, available_now=True
+        )
+        assert q.awaitTermination(300)
+
+    drain()
+    batch1 = spark.read.parquet(src)
+    want1 = {
+        (r["row_idx"], r["col_idx"]): r["c"]
+        for r in cms_build(batch1, depth=3, width=32).collect()
+    }
+    got1 = {
+        (r["row_idx"], r["col_idx"]): r["c"]
+        for r in read_cms_table(spark, table).collect()
+    }
+    assert got1 == want1
+
+    words2 = ["alpha"] * 5 + ["gamma"] * 7
+    spark.createDataFrame([(w,) for w in words2], "item string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+
+    everything = spark.read.parquet(src)
+    want = {
+        (r["row_idx"], r["col_idx"]): r["c"]
+        for r in cms_build(everything, depth=3, width=32).collect()
+    }
+    got = {
+        (r["row_idx"], r["col_idx"]): r["c"]
+        for r in read_cms_table(spark, table).collect()
+    }
+    assert got == want
+
+    # point estimates through the MAINTAINED table == batch estimates
+    cand = spark.createDataFrame(
+        [("alpha",), ("gamma",), ("x3",), ("missing",)], "item string"
+    )
+    est_stream = {
+        r["item"]: r["est"]
+        for r in cms_estimate(
+            read_cms_table(spark, table), cand, depth=3, width=32
+        ).collect()
+    }
+    est_batch = {
+        r["item"]: r["est"]
+        for r in cms_estimate(
+            cms_build(everything, depth=3, width=32), cand, depth=3, width=32
+        ).collect()
+    }
+    assert est_stream == est_batch
+    assert est_stream["alpha"] >= 14 and est_stream["gamma"] >= 7
