@@ -125,6 +125,16 @@ def main() -> None:
         "projections over ONE parquet scan (only doc_id+text read), "
         "1-row corpus-stats aggregate broadcast back, score as a "
         "pure projection",
+        "cms_hh": "Count-Min build: explode to (row,col) probes + "
+        "partial/final count agg (constant-size output); estimate = "
+        "probe join vs the tiny sketch + min agg; top-k via "
+        "TakeOrdered BEFORE the rank window",
+        "emb_cov": "embedding covariance: mapInArrow float64 GEMM "
+        "partials (d²+d+1 rows/partition) + one tiny hash combine — "
+        "no N×d shuffle",
+        "node2vec_k3": "node2vec step: frontier-bounded edge join + "
+        "edge-keyed distance-flag LEFT join + per-walk cumulative "
+        "slot window",
     }
     sections = []
     for name, why in picks.items():
