@@ -1632,6 +1632,58 @@ def q_wrandwalk_k3(spark, sf_dir):
     )
 
 
+def q_msf(spark, sf_dir):
+    """Minimum spanning forest (operators/msf.py — distributed Borůvka,
+    unique under the (w, a, b) total order) of the pair-count-weighted
+    per-user transition graph. Kruskal needs sequential union-find, so
+    the full forest is rows-only; Kruskal/networkx parity and forest
+    invariants are pinned in tests/test_msf.py, and the selection step
+    is value-hash-checked by msf_round."""
+    from linkgraph.operators.msf import min_spanning_forest
+
+    e = _user_transition_edges(spark, sf_dir).filter(
+        F.col("src") != F.col("dst")
+    )
+    wedges = (
+        e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    res = min_spanning_forest(wedges)
+    return res.forest.select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b"), "w"
+    )
+
+
+def q_msf_round(spark, sf_dir):
+    """One Borůvka selection round at identity labels (components =
+    single vertices): every vertex's (w, a, b)-minimal incident edge,
+    deduplicated — the cut-property step the forest is built from,
+    fully SQL-expressible without recursion, so value-hash-checked
+    against a DuckDB argmin twin."""
+    from linkgraph.operators.degrees import vertices
+    from linkgraph.operators.msf import min_component_edges
+
+    e = _user_transition_edges(spark, sf_dir).filter(
+        F.col("src") != F.col("dst")
+    )
+    wedges = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    labels = vertices(e).select("node", F.col("node").alias("component"))
+    return min_component_edges(wedges, labels).select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b"), "w"
+    )
+
+
 def q_node2vec_k3(spark, sf_dir):
     """Three deterministic node2vec-style SECOND-ORDER biased walk steps
     (operators/walks.py node2vec_walks; Grover-Leskovec KDD'16) on the
@@ -1937,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_hh": q_cms_hh,
         "node2vec_k3": q_node2vec_k3,
         "emb_cov": q_emb_cov,
+        "msf": q_msf,
+        "msf_round": q_msf_round,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -2994,6 +3048,29 @@ def oracle_sql() -> dict[str, str]:
                    ) AS contrib8
             FROM degc LEFT JOIN intra ON intra.label = degc.label
             CROSS JOIN mm
+        """,
+        "msf_round": f"""
+            WITH raw AS ({_UTRANS}),
+            we AS (
+              SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     CAST(count(*) AS DOUBLE) AS w
+              FROM raw WHERE src <> dst GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT a AS comp, a, b, w FROM we
+              UNION ALL
+              SELECT b AS comp, a, b, w FROM we
+            ),
+            sel AS (
+              SELECT a, b, w FROM (
+                SELECT comp, a, b, w,
+                       row_number() OVER (
+                         PARTITION BY comp ORDER BY w, a, b
+                       ) AS rn
+                FROM cand
+              ) WHERE rn = 1
+            )
+            SELECT DISTINCT a AS node_a, b AS node_b, w FROM sel
         """,
         "emb_cov": """
             WITH idx AS (SELECT unnest(range(64)) AS i),
