@@ -1632,6 +1632,32 @@ def q_wrandwalk_k3(spark, sf_dir):
     )
 
 
+def q_squares(spark, sf_dir):
+    """Global 4-cycle census (operators/structure.py square_count:
+    #C4 = Σ C(cn, 2) / 2 over ordered endpoint pairs — each square
+    counted once per diagonal) of the per-user transition graph: one
+    mid-vertex wedge join + (a, c)-keyed count + 1-row combine.
+    Brute-force parity on karate and K4/K5 goldens pinned in tests."""
+    from linkgraph.operators.structure import square_count
+
+    return square_count(_user_transition_edges(spark, sf_dir))
+
+
+def q_coengagement(spark, sf_dir):
+    """User co-engagement graph: one-mode projection of the user ->
+    event-type bipartite log (operators/structure.py project_bipartite)
+    — two users connect weighted by how many event types they share;
+    weak ties (w < 2) pruned. One pivot self-join + pair count; the
+    standard first move on an interaction log."""
+    from linkgraph.operators.structure import project_bipartite
+
+    return project_bipartite(
+        _bipartite_edges(spark, sf_dir), side="src", min_weight=2
+    ).select(
+        F.col("a").alias("user_a"), F.col("b").alias("user_b"), "w"
+    )
+
+
 def q_msf(spark, sf_dir):
     """Minimum spanning forest (operators/msf.py — distributed Borůvka,
     unique under the (w, a, b) total order) of the pair-count-weighted
@@ -1991,6 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cov": q_emb_cov,
         "msf": q_msf,
         "msf_round": q_msf_round,
+        "squares": q_squares,
+        "coengagement": q_coengagement,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -3048,6 +3076,32 @@ def oracle_sql() -> dict[str, str]:
                    ) AS contrib8
             FROM degc LEFT JOIN intra ON intra.label = degc.label
             CROSS JOIN mm
+        """,
+        "squares": f"""
+            WITH {_UTRANS_UND},
+            cn AS (
+              SELECT l.a, r.b AS c, count(*) AS cn
+              FROM (SELECT b AS mid, a FROM und) l
+              JOIN (SELECT a AS mid, b FROM und) r ON r.mid = l.mid
+              WHERE l.a < r.b
+              GROUP BY l.a, r.b
+            )
+            SELECT count(*) AS n_pairs,
+                   CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT)
+                     AS square_count
+            FROM cn
+        """,
+        "coengagement": """
+            WITH e AS (
+              SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+                              'e:' || event_type AS t
+              FROM events
+            )
+            SELECT l.u AS user_a, r.u AS user_b, count(*) AS w
+            FROM e l JOIN e r ON r.t = l.t
+            WHERE l.u < r.u
+            GROUP BY l.u, r.u
+            HAVING count(*) >= 2
         """,
         "msf_round": f"""
             WITH raw AS ({_UTRANS}),

@@ -473,3 +473,73 @@ def conductance_by_label(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("conductance"),
         )
     )
+
+
+def square_count(edges: DataFrame) -> DataFrame:
+    """Global 4-cycle (square) count of the simple undirected view —
+    the motif-census companion to ``triangles.py``. Identity: every
+    4-cycle u−x−v−y−u is determined by its two opposite pairs, so
+
+        #C4 = (1/2) · Σ_{u<v} C(cn(u,v), 2)
+
+    with cn(u, v) = common-neighbor count (each cycle is counted once
+    by each of its two diagonals). Returns one row
+    [n_pairs, square_count].
+
+    Plan: one wedge join through the mid vertex (ordered endpoints
+    a < c halve the pair space), a (a, c)-keyed count, and a 1-row
+    combine. Fan-out is Σ_b deg(b)² — the same wedge budget
+    clustering_coefficients already pays; power-law mid-vertex skew at
+    100× is the known cost of exact square counting (cap or sample hubs
+    for an approximate variant)."""
+    sym = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    l = und.select(F.col("dst").alias("mid"), F.col("src").alias("a"))
+    r = und.select(F.col("src").alias("mid"), F.col("dst").alias("c"))
+    cn = (
+        l.join(r, "mid")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return cn.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2)
+        .cast("long")
+        .alias("square_count"),
+    )
+
+
+def project_bipartite(
+    edges: DataFrame, side: str = "src", min_weight: int = 1
+) -> DataFrame:
+    """One-mode projection of a bipartite edge table: two ``side``
+    vertices connect iff they share an opposite-side neighbor, weighted
+    by how many they share (the co-occurrence graph — user-user via
+    shared events, doc-doc via shared shingles, the standard first move
+    on any bipartite interaction log). Returns [a, b, w] with a < b.
+
+    Plan: one self-join through the shared opposite vertex + one
+    (a, b)-keyed count — the wedge budget is Σ deg² over the OPPOSITE
+    side, so prune ultra-hot opposite vertices upstream when projecting
+    interaction logs at 100× (a vertex shared by everyone adds cliques,
+    not signal). ``min_weight`` filters weak co-occurrences post-count."""
+    if side not in ("src", "dst"):
+        raise ValueError("side must be 'src' or 'dst'")
+    other = "dst" if side == "src" else "src"
+    e = edges.select(side, other).distinct()
+    l = e.select(F.col(other).alias("pivot"), F.col(side).alias("a"))
+    r = e.select(F.col(other).alias("pivot"), F.col(side).alias("b"))
+    return (
+        l.join(r, "pivot")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_weight)
+    )

@@ -479,3 +479,92 @@ def test_conductance_extremes(spark):
     row = conductance_by_label(e, one).collect()
     assert len(row) == 1 and row[0]["cut_edges"] == 0
     assert row[0]["conductance"] is None
+
+
+# ---- squares (global 4-cycle census) ----
+
+def _brute_squares(und_pairs):
+    from itertools import combinations
+
+    adj = {}
+    for a, b in und_pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    count = 0
+    for quad in combinations(nodes, 4):
+        # a labeled 4-cycle on 4 vertices exists for each of the 3
+        # pairings of opposite vertices whose 4 rim edges all exist
+        u, v, x, y = quad
+        # one labeled 4-cycle per opposite-pairing whose rim edges
+        # p-r, r-q, q-s, s-p all exist
+        for (p, q), (r, s) in (
+            ((u, v), (x, y)),
+            ((u, x), (v, y)),
+            ((u, y), (v, x)),
+        ):
+            if (
+                r in adj[p]
+                and q in adj[r]
+                and s in adj[q]
+                and p in adj[s]
+            ):
+                count += 1
+    return count
+
+
+def test_square_count_golden_and_brute(spark):
+    from linkgraph.operators.structure import square_count
+
+    # C4 itself: exactly one square
+    e = fx.edges_df(spark, [0, 1, 2, 3], [1, 2, 3, 0])
+    row = square_count(e).collect()[0]
+    assert row["square_count"] == 1
+    # K4: 3 squares; K5: 15 (3 * C(n, 4))
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = square_count(
+        fx.edges_df(spark, [a for a, _ in k4], [b for _, b in k4])
+    ).collect()[0]
+    assert row["square_count"] == 3
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    row = square_count(
+        fx.edges_df(spark, [a for a, _ in k5], [b for _, b in k5])
+    ).collect()[0]
+    assert row["square_count"] == 15
+    # triangle: none
+    row = square_count(fx.edges_df(spark, [0, 1, 2], [1, 2, 0])).collect()[0]
+    assert row["square_count"] == 0
+    # karate vs brute force
+    src, dst, _ = fx.karate_club()
+    und = {(min(a, b), max(a, b)) for a, b in zip(src, dst)}
+    row = square_count(fx.edges_df(spark, src, dst)).collect()[0]
+    assert row["square_count"] == _brute_squares(und)
+
+
+# ---- bipartite projection ----
+
+def test_project_bipartite_hand_computed(spark):
+    from linkgraph.operators.structure import project_bipartite
+
+    # users 1,2,3 -> items 10,11,12: u1 {10,11}, u2 {10,11,12}, u3 {12}
+    e = fx.edges_df(spark, [1, 1, 2, 2, 2, 3], [10, 11, 10, 11, 12, 12])
+    got = {(r["a"], r["b"]): r["w"] for r in project_bipartite(e).collect()}
+    assert got == {(1, 2): 2, (2, 3): 1}
+    # min_weight prunes the weak tie
+    got2 = {
+        (r["a"], r["b"]): r["w"]
+        for r in project_bipartite(e, min_weight=2).collect()
+    }
+    assert got2 == {(1, 2): 2}
+    # item-side projection: 10~11 share {1,2}; 11~12 and 10~12 share {2}
+    got3 = {
+        (r["a"], r["b"]): r["w"]
+        for r in project_bipartite(e, side="dst").collect()
+    }
+    assert got3 == {(10, 11): 2, (10, 12): 1, (11, 12): 1}
+    # duplicate interaction rows do not inflate weights
+    e2 = fx.edges_df(
+        spark, [1, 1, 1, 2, 2, 2, 2, 3], [10, 10, 11, 10, 11, 12, 12, 12]
+    )
+    got4 = {(r["a"], r["b"]): r["w"] for r in project_bipartite(e2).collect()}
+    assert got4 == got
