@@ -1312,6 +1312,24 @@ def q_emb_cov(spark, sf_dir):
     )
 
 
+def q_kmeans_round(spark, sf_dir):
+    """One deterministic Lloyd assignment round (operators/embeddings.py
+    kmeans_assign) from the min-id init (centroids = the 8 smallest
+    vec_ids): nearest centroid by squared euclidean, ties -> smaller
+    cell. Broadcast k-row centroid table + min_by struct argmin — no
+    N×k shuffle. The full kmeans_lloyd loop (replica parity, Lloyd
+    monotonicity, k=1 == global mean) is pinned in
+    tests/test_embeddings.py."""
+    from linkgraph.operators.embeddings import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    init = emb.orderBy("vec_id").limit(8).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    return kmeans_assign(emb, cents).select(
+        "id", "cell", F.round("dist2", 6).alias("dist2_6")
+    )
+
+
 def q_cms_hh(spark, sf_dir):
     """Top-10 heavy hitters by Count-Min Sketch estimate
     (operators/sketches.py; Cormode-Muthukrishnan 2005) over document
@@ -2019,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_round": q_msf_round,
         "squares": q_squares,
         "coengagement": q_coengagement,
+        "kmeans_round": q_kmeans_round,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -3076,6 +3095,29 @@ def oracle_sql() -> dict[str, str]:
                    ) AS contrib8
             FROM degc LEFT JOIN intra ON intra.label = degc.label
             CROSS JOIN mm
+        """,
+        "kmeans_round": """
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding AS center
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            idx AS (SELECT unnest(range(64)) AS i),
+            dist AS (
+              SELECT e.vec_id AS id, c.cell,
+                     sum(pow(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                             - CAST(c.center[i.i + 1] AS DOUBLE), 2))
+                       AS dist2
+              FROM embeddings e CROSS JOIN cents c CROSS JOIN idx i
+              GROUP BY e.vec_id, c.cell
+            )
+            SELECT id, cell, round(dist2, 6) AS dist2_6 FROM (
+              SELECT id, cell, dist2,
+                     row_number() OVER (
+                       PARTITION BY id ORDER BY dist2, cell
+                     ) AS rn
+              FROM dist
+            ) WHERE rn = 1
         """,
         "squares": f"""
             WITH {_UTRANS_UND},

@@ -173,3 +173,106 @@ def embedding_pca(
         components=[V[:, c].tolist() for c in range(k)],
         explained_variance=evals.tolist(),
     )
+
+
+@dataclass
+class KMeansResult:
+    assignments: DataFrame  # [id, cell, dist2]
+    centroids: list  # k rows of d floats (final)
+    inertia: float
+    iterations: int
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared euclidean,
+    ties -> smaller cell index). ``centroids`` is a python list of
+    d-float lists — broadcast as a k-row literal table (k·d doubles).
+    Returns [id, cell, dist2]. One crossJoin against the tiny centroid
+    table + a min_by struct argmax — no N×k shuffle."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, center array<double>",
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "id",
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("v").cast("array<double>"),
+                    F.col("center"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.expr("min_by(struct(cell, dist2), struct(dist2, cell))").alias("s")
+    ).select("id", F.col("s.cell").alias("cell"), F.col("s.dist2").alias("dist2"))
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> KMeansResult:
+    """Deterministic Lloyd k-means over the embedding column.
+
+    Init: the k vectors with the SMALLEST ids (rand()-free, documented,
+    reproducible — the repo-wide determinism rule; k-means++ trades
+    this for seeding quality). Per iteration: one broadcast assignment
+    pass (``kmeans_assign``) and one per-cell mean — posexplode to
+    (cell, pos) partial+final averages, k·d rows collected to the
+    driver (constant-sized, like the PCA eigh). Empty cells keep their
+    previous centroid. Lloyd monotonicity (inertia never increases) and
+    python-replica assignment parity are pinned in
+    tests/test_embeddings.py."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    init_rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds the {len(init_rows)} input rows")
+    cents = [[float(x) for x in r["v"]] for r in init_rows]
+    d = len(cents[0])
+    assigned = None
+    for _ in range(n_iter):
+        assigned = kmeans_assign(emb, cents, id_col, vec_col)
+        base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        means = (
+            assigned.join(base, "id")
+            .select("cell", F.posexplode(F.col("v").cast("array<double>")))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep previous
+        for r in means:
+            new_cents[r["cell"]][r["pos"]] = r["m"]
+        cents = new_cents
+    assigned = kmeans_assign(emb, cents, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    inertia = assigned.agg(F.sum("dist2")).first()[0] or 0.0
+    return KMeansResult(
+        assignments=assigned,
+        centroids=cents,
+        inertia=float(inertia),
+        iterations=n_iter,
+    )

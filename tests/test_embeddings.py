@@ -79,3 +79,64 @@ def test_pca_k_validation(spark, emb):
         embedding_pca(emb, k=0)
     with pytest.raises(ValueError):
         embedding_pca(emb, k=10_000)
+
+
+# ---- deterministic Lloyd k-means ----
+
+def _kmeans_replica(X, ids, k, n_iter):
+    import numpy as np
+
+    order = np.argsort(ids)
+    cents = [X[order[i]].tolist() for i in range(k)]
+
+    def assign(cents):
+        C = np.asarray(cents)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)  # numpy argmin = first minimum = min cell
+        return cells, d2[np.arange(len(X)), cells]
+
+    for _ in range(n_iter):
+        cells, _ = assign(cents)
+        for c in range(k):
+            mask = cells == c
+            if mask.any():
+                cents[c] = X[mask].mean(axis=0).tolist()
+    cells, d2 = assign(cents)
+    return cells, d2, cents
+
+
+def test_kmeans_matches_replica_and_monotone(spark, emb, X):
+    from linkgraph.operators.embeddings import kmeans_lloyd
+
+    x, ids = X
+    k = 6
+    res = kmeans_lloyd(emb, k=k, n_iter=4)
+    cells, d2, cents = _kmeans_replica(x, ids, k, 4)
+    got = {r["id"]: (r["cell"], r["dist2"]) for r in res.assignments.collect()}
+    for row_i, vid in enumerate(ids):
+        assert got[vid][0] == cells[row_i], vid
+        assert got[vid][1] == pytest.approx(d2[row_i], rel=1e-9)
+    assert res.inertia == pytest.approx(float(d2.sum()), rel=1e-9)
+    # Lloyd monotonicity: more iterations never increase inertia
+    res1 = kmeans_lloyd(emb, k=k, n_iter=1)
+    assert res.inertia <= res1.inertia + 1e-9
+
+
+def test_kmeans_k1_is_global_mean(spark, emb, X):
+    from linkgraph.operators.embeddings import kmeans_lloyd
+
+    x, _ = X
+    res = kmeans_lloyd(emb, k=1, n_iter=2)
+    np.testing.assert_allclose(res.centroids[0], x.mean(axis=0), atol=1e-10)
+    # inertia = total variance * n
+    want = (((x - x.mean(axis=0)) ** 2).sum(axis=1)).sum()
+    assert res.inertia == pytest.approx(want, rel=1e-9)
+
+
+def test_kmeans_validation(spark, emb):
+    from linkgraph.operators.embeddings import kmeans_lloyd
+
+    with pytest.raises(ValueError):
+        kmeans_lloyd(emb, k=0)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(emb, k=10_000)
