@@ -51,8 +51,10 @@ class BowtieResult:
 def _reach_from(edges: DataFrame, seeds: DataFrame, max_iter: int) -> DataFrame:
     """All vertices reachable from the seed SET (seeds excluded unless
     re-entered) — frontier BFS treating the set as one source blob:
-    per round one edge join + one anti-join, checkpointed. Returns
-    [node]."""
+    per round one edge join + one anti-join, checkpointed. Runs to the
+    empty-frontier fixpoint; ``max_iter`` is a safety cap and EXCEEDING
+    it raises (a silent cut would misclassify every vertex beyond it as
+    TENDRIL/DISCONNECTED). Returns [node]."""
     reached = seeds.select("node").localCheckpoint(eager=True)
     frontier = reached
     for _ in range(max_iter):
@@ -64,10 +66,14 @@ def _reach_from(edges: DataFrame, seeds: DataFrame, max_iter: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
-            break
+            return reached
         reached = reached.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-    return reached
+    raise RuntimeError(
+        f"bowtie reachability did not close within max_iter={max_iter} "
+        "rounds (graph hop-diameter from the core exceeds the cap); "
+        "raise max_iter"
+    )
 
 
 def bowtie_decomposition(edges: DataFrame, max_iter: int = 100) -> BowtieResult:

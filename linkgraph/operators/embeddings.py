@@ -28,6 +28,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _batch_matrix(tab, vec_col: str):
+    """(n, d) float64 matrix from an Arrow list<float> column — buffer
+    flatten + reshape, NO per-row ``as_py()`` (which would dominate the
+    one data pass with Python object churn). Assumes the module-wide
+    uniform-dimension, no-null embedding contract; a non-divisible
+    ragged column fails loudly."""
+    import numpy as np
+
+    arr = tab.column(vec_col).combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return None
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    if flat.size % n:
+        raise ValueError(f"ragged {vec_col} column: {flat.size} values / {n} rows")
+    return flat.reshape(n, flat.size // n)
+
+
 def _moment_sums(emb: DataFrame, vec_col: str) -> DataFrame:
     """One-pass raw moments as [i, j, v]: (i>=0, j>=0) = Σ x_i x_j;
     (i>=0, j=-1) = Σ x_i; (-1, -1) = row count. d² + d + 1 rows."""
@@ -41,10 +61,8 @@ def _moment_sums(emb: DataFrame, vec_col: str) -> DataFrame:
         c = None
         for b in batches:
             tab = pa.Table.from_batches([b])
-            x = np.asarray(
-                [v.as_py() for v in tab.column(vec_col)], dtype=np.float64
-            )
-            if x.size == 0:
+            x = _batch_matrix(tab, vec_col)
+            if x is None:
                 continue
             n += x.shape[0]
             s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
@@ -149,17 +167,14 @@ def embedding_pca(
     mb = mean.copy()
 
     def project(batches):
-        import numpy as np
         import pyarrow as pa
 
         for b in batches:
             tab = pa.Table.from_batches([b])
-            ids = tab.column(id_col).to_pylist()
-            if not ids:
+            x = _batch_matrix(tab, vec_col)
+            if x is None:
                 continue
-            x = np.asarray(
-                [v.as_py() for v in tab.column(vec_col)], dtype=np.float64
-            )
+            ids = tab.column(id_col).to_pylist()
             p = (x - mb) @ Vb
             yield pa.RecordBatch.from_pydict(
                 {"id": ids, "proj": [row.tolist() for row in p]}

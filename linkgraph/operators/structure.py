@@ -371,9 +371,15 @@ def modularity_by_label(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    sym = sym.unionByName(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    # materialized, not persist(): the returned plan references sym
+    # three ways and no action runs while a lazy cache is in effect
+    sym = (
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     lab = labels.select("node", "label")
     both = (
         sym.join(lab.withColumnRenamed("node", "src").withColumnRenamed("label", "ls"), "src")
@@ -392,7 +398,6 @@ def modularity_by_label(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .agg(F.sum("deg").alias("deg_sum"))
     )
     m_row = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
-    sym.unpersist()
     return (
         degc.join(intra, "label", "left")
         .crossJoin(m_row)
@@ -428,15 +433,22 @@ def conductance_by_label(edges: DataFrame, labels: DataFrame) -> DataFrame:
     then each directed copy leaving its community counts its cut edge
     exactly once, so cut_c is one label-keyed aggregate; vol_c is a
     degree sum; 2m is a 1-row combine. No wedge joins, scale-safe at any
-    community count."""
+    community count. The symmetrized edge set is MATERIALIZED
+    (localCheckpoint) because the returned plan references it four ways
+    — a lazy persist/unpersist pair around a lazily-returned DataFrame
+    caches nothing."""
     sym = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    sym = sym.unionByName(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    sym = (
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     lab = labels.select("node", "label")
     both = (
         sym.join(
@@ -456,9 +468,15 @@ def conductance_by_label(edges: DataFrame, labels: DataFrame) -> DataFrame:
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    volc = deg.join(lab, "node").groupBy("label").agg(F.sum("deg").alias("vol"))
+    # left join + coalesce: a label whose members are ALL isolated
+    # vertices still gets its row (vol 0, cut 0, conductance NULL) —
+    # the docstring promises one row per community of the labeling
+    volc = (
+        lab.join(deg, "node", "left")
+        .groupBy("label")
+        .agg(F.sum(F.coalesce("deg", F.lit(0))).alias("vol"))
+    )
     m2_row = sym.agg(F.count(F.lit(1)).alias("m2"))  # 2m directed copies
-    sym.unpersist()
     denom = F.least(F.col("vol"), F.col("m2") - F.col("vol"))
     return (
         volc.join(cut, "label", "left")
@@ -510,9 +528,12 @@ def square_count(edges: DataFrame) -> DataFrame:
     )
     return cn.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        (F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2)
-        .cast("long")
-        .alias("square_count"),
+        # coalesce: sum over an empty cn table (wedge-free graph, e.g. a
+        # perfect matching) is NULL, but the correct census is 0
+        F.coalesce(
+            (F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2).cast("long"),
+            F.lit(0),
+        ).alias("square_count"),
     )
 
 

@@ -319,9 +319,18 @@ def bm25_scores(
     the plan you want at 100 TB for a bounded query vocabulary. (An
     unbounded/query-table variant would explode + join on term; this
     operator deliberately asserts the bounded case.)"""
-    terms = list(dict.fromkeys(query_terms))
+    # normalize terms with the SAME rule applied to the documents
+    # (lower + strip) — a raw 'Table' would otherwise silently score 0
+    # against the lowercased token stream; multi-word/empty terms can
+    # never match a single token, so they fail loudly
+    terms = list(dict.fromkeys(t.strip().lower() for t in query_terms))
     if not terms or len(terms) > 64:
         raise ValueError("bm25_scores: need 1..64 distinct query terms")
+    bad = [t for t in terms if not t or any(c.isspace() for c in t)]
+    if bad:
+        raise ValueError(
+            f"bm25_scores: terms must be single non-empty tokens: {bad!r}"
+        )
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
 
     def _eq(term):

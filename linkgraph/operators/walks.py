@@ -176,8 +176,16 @@ def node2vec_walks(
     ends stop early."""
     if walk_len < 0:
         raise ValueError("walk_len must be >= 0")
-    if min(w_return, w_common, w_far) < 1:
-        raise ValueError("bias weights must be positive integers")
+    for name, w in (
+        ("w_return", w_return), ("w_common", w_common), ("w_far", w_far)
+    ):
+        # bool is an int subclass but never a sensible bias
+        if not isinstance(w, int) or isinstance(w, bool) or w < 1:
+            raise ValueError(
+                f"{name} must be a positive int (got {w!r}); the exact "
+                "slot sampling is integer arithmetic — scale rational "
+                "(p, q) to integers yourself"
+            )
     from pyspark.sql import Window as W
 
     # simple directed graph: self-loops dropped (a self-hop is neither a

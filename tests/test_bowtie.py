@@ -138,3 +138,11 @@ def test_bowtie_replica_random_and_determinism(spark):
         for r in bowtie_decomposition(e.repartition(7)).classes.collect()
     }
     assert again == got
+
+
+def test_bowtie_raises_on_reachability_cap(spark):
+    # a 6-chain into a 2-cycle core: closure needs >2 rounds
+    src = [0, 1, 2, 3, 4, 5, 6]
+    dst = [1, 2, 3, 4, 5, 6, 5]
+    with pytest.raises(RuntimeError, match="max_iter"):
+        bowtie_decomposition(edges_df(spark, src, dst), max_iter=2)

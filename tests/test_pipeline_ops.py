@@ -722,3 +722,18 @@ def test_tfidf_top_terms_repartition_invariant(spark, docs):
         for r in textstats.tfidf_top_terms(docs.repartition(13), k=3).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_bm25_terms_normalized_and_validated(spark):
+    texts = ["the table of tables", "no match here"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # uppercase / padded terms hit the lowercased token stream
+    a = {r["id"]: r["bm25"] for r in textstats.bm25_scores(df, ["table"]).collect()}
+    b = {r["id"]: r["bm25"] for r in textstats.bm25_scores(df, [" Table "]).collect()}
+    assert a == b and a[0] > 0.0
+    with pytest.raises(ValueError):
+        textstats.bm25_scores(df, ["two words"])
+    with pytest.raises(ValueError):
+        textstats.bm25_scores(df, ["  "])

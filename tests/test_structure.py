@@ -568,3 +568,24 @@ def test_project_bipartite_hand_computed(spark):
     )
     got4 = {(r["a"], r["b"]): r["w"] for r in project_bipartite(e2).collect()}
     assert got4 == got
+
+
+def test_square_count_wedge_free_is_zero(spark):
+    from linkgraph.operators.structure import square_count
+
+    # perfect matching: no wedges at all -> empty cn table, count 0 not NULL
+    row = square_count(fx.edges_df(spark, [0, 2], [1, 3])).collect()[0]
+    assert row["square_count"] == 0 and row["n_pairs"] == 0
+
+
+def test_conductance_all_isolated_label_keeps_row(spark):
+    from linkgraph.operators.structure import conductance_by_label
+
+    e = fx.edges_df(spark, [0], [1])
+    labels = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 2)], "node long, label int"
+    )
+    rows = {r["label"]: r for r in conductance_by_label(e, labels).collect()}
+    assert set(rows) == {1, 2}  # the isolated-only label still appears
+    assert rows[2]["vol"] == 0 and rows[2]["cut_edges"] == 0
+    assert rows[2]["conductance"] is None

@@ -280,3 +280,18 @@ def test_node2vec_deterministic_and_seeded(spark):
     c = _collect(node2vec_walks(ke, walk_len=3))
     d = _collect(node2vec_walks(ke, walk_len=3, seed="other"))
     assert c != d
+
+
+def test_node2vec_rejects_non_integer_weights(spark):
+    from linkgraph.operators.walks import node2vec_walks
+
+    src, dst, _ = fx.two_components()
+    e = fx.edges_df(spark, src, dst)
+    import pytest
+
+    with pytest.raises(ValueError):
+        node2vec_walks(e, walk_len=2, w_common=2.5)
+    with pytest.raises(ValueError):
+        node2vec_walks(e, walk_len=2, w_return=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(e, walk_len=2, w_far=True)
