@@ -1419,6 +1419,47 @@ def q_bm25(spark, sf_dir):
     )
 
 
+def q_vsample(spark, sf_dir):
+    """Deterministic vertex-induced half-sample of the transition graph
+    (operators/sampling.py sample_vertices_induced — md5-cutoff keep
+    rule on BOTH endpoints, Leskovec-Faloutsos induced sampling),
+    rolled up to weighted edges. Two pushdown filters on one scan; the
+    keep rule is the same engine-portable md5 comparison as
+    dataset_split, so the DuckDB twin is exact."""
+    from linkgraph.operators.sampling import sample_vertices_induced
+
+    e = sample_vertices_induced(_user_transition_edges(spark, sf_dir), 0.5)
+    return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")).select(
+        F.col("src").alias("src_name"), F.col("dst").alias("dst_name"), "w"
+    )
+
+
+def q_slpa_k3(spark, sf_dir):
+    """Three rounds of SEEDED (clamped) label propagation
+    (operators/lpa.py seeded_label_propagation — Zhu-Ghahramani-shape
+    hard-label spreading) over the bipartite graph: seeds are the
+    vertices whose md5 starts with '0' (labeled with their own name),
+    everyone else starts NULL and takes the most frequent labeled-
+    neighbor label per round. Value-checked by a 3-round unrolled CTE
+    with the identical clamp; replica parity + NULL-unreachable
+    semantics pinned in tests/test_algorithms.py. Early stop is safe:
+    a converged round is a fixpoint, so extra unrolled rounds are
+    no-ops."""
+    from linkgraph.operators.degrees import vertices
+    from linkgraph.operators.lpa import seeded_label_propagation
+
+    e = _bipartite_edges(spark, sf_dir)
+    seeds = (
+        vertices(e)
+        .filter(F.substring(F.md5(F.col("node")), 1, 1) == "0")
+        .select("node", F.col("node").alias("label"))
+    )
+    res = seeded_label_propagation(e, seeds, max_iter=3)
+    return res.labels.select(
+        F.col("node").alias("node_name"), F.col("label").alias("label_name")
+    )
+
+
 def q_louvain(spark, sf_dir):
     """Full multi-level Louvain (operators/louvain.py; Blondel et al.
     2008, Lu et al. 2015 parallel relaxation) over the per-user
@@ -2038,6 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squares": q_squares,
         "coengagement": q_coengagement,
         "kmeans_round": q_kmeans_round,
+        "slpa_k3": q_slpa_k3,
+        "vsample": q_vsample,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -2983,6 +3026,51 @@ def _lpa_unrolled_sql(k: int) -> str:
     """
 
 
+def _slpa_unrolled_sql(k: int) -> str:
+    """Seeded/clamped LPA (operators/lpa.py seeded_label_propagation
+    semantics) unrolled into k chained CTE rounds: NULL start for
+    non-seeds, labeled-neighbor mode with (count desc, label asc) ties,
+    seeds clamped in every update."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+            cnt{i} AS (
+              SELECT s.dst AS node, r.label, count(*) AS cnt
+              FROM sym s JOIN l{i} r
+                ON s.src = r.node AND r.label IS NOT NULL
+              GROUP BY s.dst, r.label
+            ),
+            best{i} AS (
+              SELECT node, label AS cand FROM cnt{i}
+              QUALIFY row_number() OVER (PARTITION BY node
+                                         ORDER BY cnt DESC, label ASC) = 1
+            ),
+            l{i + 1} AS (
+              SELECT l.node,
+                     CASE WHEN l.seed THEN l.label
+                          ELSE coalesce(b.cand, l.label) END AS label,
+                     l.seed
+              FROM l{i} l LEFT JOIN best{i} b ON l.node = b.node
+            )""")
+    return f"""
+        WITH e AS ({_BIP}),
+        sym AS (
+          SELECT DISTINCT src, dst FROM e WHERE src <> dst
+          UNION SELECT DISTINCT dst, src FROM e WHERE src <> dst
+        ),
+        nodes AS ({_NODES}),
+        l0 AS (
+          SELECT node,
+                 CASE WHEN substr(md5(node), 1, 1) = '0' THEN node END
+                   AS label,
+                 substr(md5(node), 1, 1) = '0' AS seed
+          FROM nodes
+        ),
+        {",".join(steps)}
+        SELECT node AS node_name, label AS label_name FROM l{k}
+    """
+
+
 def _stopword_hits_sql(col: str, words: list[str]) -> str:
     padded = f"(' ' || {col} || ' ')"
     terms = [
@@ -3685,6 +3773,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg d2 ON d2.node = u.b
         """,
         "lpa_k3": _lpa_unrolled_sql(3),
+        "slpa_k3": _slpa_unrolled_sql(3),
+        "vsample": f"""
+            WITH raw AS ({_UTRANS})
+            SELECT src AS src_name, dst AS dst_name, count(*) AS w
+            FROM raw
+            WHERE substr(md5(src || ':vsample'), 1, 8) < '80000000'
+              AND substr(md5(dst || ':vsample'), 1, 8) < '80000000'
+            GROUP BY src, dst
+        """,
         "top_hubs": f"""
             SELECT dst AS node_name, count(*) AS in_deg FROM ({_BIP})
             GROUP BY dst ORDER BY in_deg DESC, node_name ASC LIMIT 10

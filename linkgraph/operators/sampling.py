@@ -65,3 +65,37 @@ def stratified_sample(
     for s in sorted(rates, reverse=True):
         cut = F.when(F.col(strata_col) == s, F.lit(hex_cutoff(rates[s]))).otherwise(cut)
     return df.where(h < cut)
+
+
+def sample_vertices_induced(
+    edges: DataFrame, rate: float, salt: str = "vsample"
+) -> DataFrame:
+    """Vertex-induced subgraph sample: keep vertex v iff
+
+        substr(md5(v || ':' || salt), 1, 8) < cutoff(rate)
+
+    and keep an edge iff BOTH endpoints are kept (so the expected edge
+    survival is rate², and the sample is a true induced subgraph —
+    Leskovec & Faloutsos, "Sampling from large graphs", KDD'06: induced
+    vertex sampling preserves within-sample degree structure where edge
+    sampling sparsifies it). Same md5-cutoff rule as stratified_sample /
+    dataset_split: deterministic under re-run, retry, and repartition,
+    and reproducible in ANSI SQL. The standard downsample-first move
+    before expensive exact analytics (squares, betweenness, MSF) at
+    100 TB.
+
+    Plan: two pushdown-friendly filter expressions on one scan — no
+    joins, no shuffle, no vertex table materialization."""
+    cutoff = hex_cutoff(rate)
+
+    def keep(col):
+        return (
+            F.substring(
+                F.md5(F.concat_ws(":", col.cast("string"), F.lit(salt))),
+                1,
+                _DIGITS,
+            )
+            < cutoff
+        )
+
+    return edges.filter(keep(F.col("src")) & keep(F.col("dst")))

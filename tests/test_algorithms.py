@@ -94,3 +94,72 @@ def test_triangles_oracle_parity(spark):
 def test_triangles_none(spark):
     src, dst, n = fx.toy_chain_dangling()
     assert triangle_count(fx.edges_df(spark, src, dst)) == 0
+
+
+# ---- seeded (clamped) label propagation ----
+
+def _slpa_python(src, dst, seeds, max_iter):
+    """Replica of seeded_label_propagation: NULL start, labeled-neighbor
+    mode with (count desc, label asc) ties, clamped seeds."""
+    nbrs = {}
+    nodes = set()
+    for u, v in zip(src, dst):
+        nodes.update((u, v))
+        if u != v:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+    lab = {v: seeds.get(v) for v in nodes}
+    for _ in range(max_iter):
+        new = {}
+        for v in nodes:
+            if v in seeds:
+                new[v] = seeds[v]
+                continue
+            cnt = {}
+            for u in nbrs.get(v, ()):
+                if lab[u] is not None:
+                    cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            if cnt:
+                new[v] = min(cnt, key=lambda c: (-cnt[c], c))
+            else:
+                new[v] = lab[v]
+        if new == lab:
+            break
+        lab = new
+    return lab
+
+
+def test_seeded_lpa_karate_factions(spark):
+    from linkgraph.operators.lpa import seeded_label_propagation
+
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst)
+    seeds = spark.createDataFrame(
+        [(0, "mr_hi"), (33, "officer")], "node long, label string"
+    )
+    res = seeded_label_propagation(df, seeds, max_iter=10)
+    got = {r["node"]: r["label"] for r in res.labels.collect()}
+    want = _slpa_python(src, dst, {0: "mr_hi", 33: "officer"}, 10)
+    assert got == want
+    # clamps hold; every vertex reachable from a seed is labeled
+    assert got[0] == "mr_hi" and got[33] == "officer"
+    assert all(v is not None for v in got.values())  # karate is connected
+    assert set(got.values()) == {"mr_hi", "officer"}
+
+
+def test_seeded_lpa_unreachable_stays_null_and_deterministic(spark):
+    from linkgraph.operators.lpa import seeded_label_propagation
+
+    # path 0-1-2 seeded at 0; disconnected pair 5-6 has no seed
+    df = fx.edges_df(spark, [0, 1, 5], [1, 2, 6])
+    seeds = spark.createDataFrame([(0, "a")], "node long, label string")
+    res = seeded_label_propagation(df, seeds, max_iter=5)
+    got = {r["node"]: r["label"] for r in res.labels.collect()}
+    assert got == {0: "a", 1: "a", 2: "a", 5: None, 6: None}
+    again = {
+        r["node"]: r["label"]
+        for r in seeded_label_propagation(
+            df.repartition(7), seeds, max_iter=5
+        ).labels.collect()
+    }
+    assert again == got

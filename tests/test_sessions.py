@@ -98,3 +98,36 @@ def test_funnel_greedy_earliest_is_existence_optimal(spark):
     r = funnel(df, ["signup", "click", "purchase"]).first()
     assert r["steps_completed"] == 3
     assert str(r["ts_2"]) == "2026-01-01 02:00:00"
+
+
+def test_sample_vertices_induced_properties(spark):
+    """Induced-sample invariants: deterministic under repartition, edges
+    only between kept vertices, monotone in rate, salt-decorrelated,
+    rate 0/1 extremes, and kept-vertex rule matches the python md5
+    twin."""
+    import hashlib
+
+    from linkgraph.operators.sampling import hex_cutoff, sample_vertices_induced
+
+    edges = [(a, b) for a in range(40) for b in range(40) if a != b and (a + b) % 7 == 0]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    samp = sample_vertices_induced(df, 0.5)
+    got = {(r["src"], r["dst"]) for r in samp.collect()}
+
+    def kept(v, rate, salt="vsample"):
+        return hashlib.md5(f"{v}:{salt}".encode()).hexdigest()[:8] < hex_cutoff(rate)
+
+    want = {(a, b) for a, b in edges if kept(a, 0.5) and kept(b, 0.5)}
+    assert got == want and 0 < len(got) < len(edges)
+    # repartition determinism
+    again = {(r["src"], r["dst"]) for r in sample_vertices_induced(df.repartition(9), 0.5).collect()}
+    assert again == got
+    # monotone: a smaller rate yields a subset
+    smaller = {(r["src"], r["dst"]) for r in sample_vertices_induced(df, 0.2).collect()}
+    assert smaller <= got
+    # extremes
+    assert sample_vertices_induced(df, 1.0).count() == len(edges)
+    assert sample_vertices_induced(df, 0.0).count() == 0
+    # a different salt draws a different (decorrelated) sample
+    other = {(r["src"], r["dst"]) for r in sample_vertices_induced(df, 0.5, salt="z").collect()}
+    assert other != got
