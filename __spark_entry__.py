@@ -1419,6 +1419,20 @@ def q_bm25(spark, sf_dir):
     )
 
 
+def q_doulion(spark, sf_dir):
+    """DOULION edge-sampled triangle estimate (operators/triangles.py
+    triangle_count_doulion; Tsourakakis et al. KDD'09) at p=0.5 on the
+    transition graph — deterministic md5 edge coins on the canonical
+    pair, exact degree-ordered count on the sparsified graph, 1/p³
+    scale-up. The oracle recomputes the identical coins and an exact
+    a<b<c triangle enumeration on the kept edges."""
+    from linkgraph.operators.triangles import triangle_count_doulion
+
+    return triangle_count_doulion(
+        _user_transition_edges(spark, sf_dir), p=0.5
+    )
+
+
 def q_vsample(spark, sf_dir):
     """Deterministic vertex-induced half-sample of the transition graph
     (operators/sampling.py sample_vertices_induced — md5-cutoff keep
@@ -2081,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_round": q_kmeans_round,
         "slpa_k3": q_slpa_k3,
         "vsample": q_vsample,
+        "doulion": q_doulion,
         "eigen_k4": q_eigen_k4,
         "trussness_r2": q_trussness_r2,
         "salsa_k3": q_salsa_k3,
@@ -3774,6 +3789,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lpa_k3": _lpa_unrolled_sql(3),
         "slpa_k3": _slpa_unrolled_sql(3),
+        "doulion": f"""
+            WITH raw AS ({_UTRANS}),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM raw WHERE src <> dst
+            ),
+            k AS (
+              SELECT a, b FROM und
+              WHERE substr(md5(a || '|' || b || '|doulion'), 1, 8)
+                      < '80000000'
+            ),
+            tri AS (
+              SELECT count(*) AS t
+              FROM k e1
+              JOIN k e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN k e3 ON e3.a = e1.b AND e3.b = e2.b
+            )
+            SELECT (SELECT count(*) FROM k) AS kept_edges,
+                   tri.t AS sampled_triangles,
+                   round(tri.t / 0.125, 6) AS triangle_estimate
+            FROM tri
+        """,
         "vsample": f"""
             WITH raw AS ({_UTRANS})
             SELECT src AS src_name, dst AS dst_name, count(*) AS w

@@ -62,3 +62,45 @@ def triangle_count(edges: DataFrame) -> int:
     orientation is a total order, so every triangle has exactly one
     low->mid->high wedge closed by one low->high edge)."""
     return _matched_triangles(edges).count()
+
+
+def triangle_count_doulion(
+    edges: DataFrame, p: float, salt: str = "doulion"
+) -> DataFrame:
+    """DOULION approximate triangle count (Tsourakakis, Kang, Miller &
+    Faloutsos, KDD'09): keep each SIMPLE undirected edge independently
+    with probability p, count triangles EXACTLY on the sparsified graph,
+    and scale by 1/p³ — an unbiased estimator whose wedge-join cost
+    shrinks by ~p² (the standard scale move when the exact census is too
+    hot, e.g. on the full 100-TB graph before deciding where to spend
+    the exact pass).
+
+    rand()-free like everything in this repo: the keep rule is the
+    md5-cutoff comparison of sampling.py on the CANONICAL endpoint pair
+    (both directions of an undirected edge draw the same coin), so the
+    estimate is deterministic, repartition-stable, and value-checkable
+    in ANSI SQL. Returns one row [kept_edges, sampled_triangles,
+    triangle_estimate]; p=1 degenerates to the exact count."""
+    from linkgraph.operators.sampling import hex_cutoff
+
+    cutoff = hex_cutoff(p)
+    canon = F.concat_ws(
+        "|",
+        F.least(F.col("src"), F.col("dst")).cast("string"),
+        F.greatest(F.col("src"), F.col("dst")).cast("string"),
+        F.lit(salt),
+    )
+    kept = edges.filter(F.substring(F.md5(canon), 1, 8) < cutoff)
+    sampled = _matched_triangles(kept)
+    m_row = (
+        symmetrize(kept)
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("kept_edges"))
+    )
+    return m_row.crossJoin(
+        sampled.agg(
+            F.count(F.lit(1)).alias("sampled_triangles"),
+            F.round(F.count(F.lit(1)) / F.lit(float(p) ** 3), 6).alias(
+                "triangle_estimate"
+            ),
+        )
+    )

@@ -163,3 +163,48 @@ def test_seeded_lpa_unreachable_stays_null_and_deterministic(spark):
         ).labels.collect()
     }
     assert again == got
+
+
+# ---- DOULION edge-sampled triangle estimate ----
+
+def test_doulion_exact_at_p1_and_replica_at_half(spark):
+    import hashlib
+
+    from linkgraph.operators.sampling import hex_cutoff
+    from linkgraph.operators.triangles import (
+        triangle_count,
+        triangle_count_doulion,
+    )
+
+    src, dst, n = fx.karate_club()
+    df = fx.edges_df(spark, src, dst)
+    exact = triangle_count(df)  # karate golden: 45
+    row = triangle_count_doulion(df, p=1.0).collect()[0]
+    assert row["sampled_triangles"] == exact == 45
+    assert row["triangle_estimate"] == float(exact)
+
+    # p=0.5: python md5 twin of the keep rule -> exact expected estimate
+    def kept(a, b, p=0.5, salt="doulion"):
+        a, b = min(int(a), int(b)), max(int(a), int(b))
+        return (
+            hashlib.md5(f"{a}|{b}|{salt}".encode()).hexdigest()[:8]
+            < hex_cutoff(p)
+        )
+
+    und = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    kept_edges = {e for e in und if kept(*e)}
+    tri = sum(
+        1
+        for a, b in kept_edges
+        for c in range(n)
+        if c > b
+        and (min(a, c), max(a, c)) in kept_edges
+        and (min(b, c), max(b, c)) in kept_edges
+    )
+    row = triangle_count_doulion(df, p=0.5).collect()[0]
+    assert row["kept_edges"] == len(kept_edges)
+    assert row["sampled_triangles"] == tri
+    assert row["triangle_estimate"] == pytest.approx(tri / 0.125, abs=1e-6)
+    # deterministic under repartition
+    again = triangle_count_doulion(df.repartition(9), p=0.5).collect()[0]
+    assert tuple(again) == tuple(row)
