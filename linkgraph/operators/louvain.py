@@ -395,6 +395,16 @@ def louvain(
     classes + exact argmax + canonical relabel); python-replica
     bit-equality on both paths and karate-quality are pinned in
     tests/test_louvain.py."""
+    integral = ("byte", "short", "int", "long", "integer", "bigint")
+    dtypes = dict(edges.dtypes)
+    bad = {c: dtypes[c] for c in ("src", "dst") if dtypes.get(c) not in integral}
+    if bad:
+        raise TypeError(
+            f"louvain() requires integral node ids (src/dst), got {bad}; "
+            "densify string ids first (e.g. F.xxhash64 or plans.shards id "
+            "normalization) — the endgame kernel's output schema is "
+            "'node long, community long'"
+        )
     wedges = _weighted_simple(edges, weight_col).localCheckpoint(eager=True)
     verts = vertices(edges).localCheckpoint(eager=True)
     # Σ_i k_i: every canonical entry contributes 2w (a loop adds 2w to

@@ -81,7 +81,7 @@ def triangle_count_doulion(
     estimate is deterministic, repartition-stable, and value-checkable
     in ANSI SQL. Returns one row [kept_edges, sampled_triangles,
     triangle_estimate]; p=1 degenerates to the exact count."""
-    from linkgraph.operators.sampling import hex_cutoff
+    from linkgraph.operators.sampling import _DIGITS, hex_cutoff
 
     cutoff = hex_cutoff(p)
     canon = F.concat_ws(
@@ -90,7 +90,9 @@ def triangle_count_doulion(
         F.greatest(F.col("src"), F.col("dst")).cast("string"),
         F.lit(salt),
     )
-    kept = edges.filter(F.substring(F.md5(canon), 1, 8) < cutoff)
+    # prefix length tied to sampling._DIGITS so the lexicographic compare
+    # always sees a digest slice exactly as wide as the cutoff string
+    kept = edges.filter(F.substring(F.md5(canon), 1, _DIGITS) < cutoff)
     sampled = _matched_triangles(kept)
     m_row = (
         symmetrize(kept)

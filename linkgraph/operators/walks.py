@@ -160,9 +160,12 @@ def node2vec_walks(
         w_common  if prev->x or x->prev is an edge (distance 1, bias 1)
         w_far     otherwise                        (node2vec 1/q)
 
-    and the hop is drawn by exact integer slot sampling from the shared
-    48-bit draw u = md5(start|seed|step): P(x) = bias_x / Σ bias
-    EXACTLY, with (p, q) = (w_common/w_return, w_common/w_far). Like
+    and the hop is drawn by integer slot sampling from the shared
+    48-bit draw u = md5(start|seed|step): deterministic exact-integer
+    slot arithmetic with P(x) = bias_x / Σ bias up to the u % Σbias
+    modulo remainder (relative bias O(Σbias / 2^48) — Σbias does not
+    generally divide 2^48), with (p, q) = (w_common/w_return,
+    w_common/w_far). Like
     the other walk operators this is rand()-free — stable under
     re-run/retries/repartitioning and value-checkable in ANSI SQL
     (q_node2vec_k3).
