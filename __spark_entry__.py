@@ -1571,6 +1571,24 @@ def q_anf_curve(spark, sf_dir):
     ).select("t", F.round("nf_est", 4).alias("nf_est4"))
 
 
+def q_anf_round(spark, sf_dir):
+    """Two HyperANF register max-merge rounds (operators/anf.py
+    anf_register_rounds — SAME hll_init + _merge_round code as the
+    production neighborhood_function, md5 hash family, b=4 → 16
+    registers) on the directed per-user transition graph, reporting the
+    integer-exact register state [rho_sum, zero_regs] per vertex. After
+    t rounds a vertex's registers are the bucket-wise max over its t-hop
+    out-ball, so the DuckDB twin replays the recurrence as 2-hop
+    reachability + group-max — a full value-hash oracle for the ANF
+    propagation loop (the float HLL estimate layer is pinned separately
+    in tests/test_anf.py)."""
+    from linkgraph.operators.anf import anf_register_rounds
+
+    return anf_register_rounds(
+        _user_transition_edges(spark, sf_dir), t=2, b=4, hash="md5"
+    ).select(F.col("node").alias("node_name"), "rho_sum", "zero_regs")
+
+
 def q_sssp_r4(spark, sf_dir):
     """Four fixed Bellman-Ford relaxation rounds (operators/sssp.py) on
     the undirected per-user transition graph with cost = 1/transition
@@ -2104,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ball2": q_ball2,
         "coloring_r2": q_coloring_r2,
         "anf_curve": q_anf_curve,
+        "anf_round": q_anf_round,
         "transitivity": q_transitivity,
         "funnel3": q_funnel3,
         "temporal_r3": q_temporal_r3,
@@ -3151,6 +3170,33 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_k3": _node2vec_unrolled_sql(3),
         "betweenness_k4": _betweenness_unrolled_sql(8, 4),
         "sssp_r4": _sssp_unrolled_sql(4),
+        # anf_round: 2 HyperANF register max-merge rounds = bucket-wise max
+        # over the 2-hop out-ball. md5 48-bit slice, b=4 -> m=16 registers,
+        # rho = (48-4) - floor(log2 w) = 45 - length(bin(w)) (w=0 -> 45);
+        # present buckets always have rho >= 1, so zero_regs = 16 - #present.
+        "anf_round": f"""
+            WITH e AS (SELECT DISTINCT src, dst FROM ({_UTRANS})),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            h AS (SELECT node,
+                         CAST(('0x' || substr(md5('anf|' || node), 1, 12))
+                              AS BIGINT) AS hv
+                  FROM nodes),
+            obs AS (SELECT node, hv % 16 AS bucket,
+                           CASE WHEN hv // 16 = 0 THEN 45
+                                ELSE 45 - length(bin(hv // 16)) END AS rho
+                    FROM h),
+            hop1 AS (SELECT node AS v, node AS u FROM nodes
+                     UNION SELECT src AS v, dst AS u FROM e),
+            ball AS (SELECT DISTINCT h1.v, h2.u
+                     FROM hop1 h1 JOIN hop1 h2 ON h1.u = h2.v),
+            regs AS (SELECT b.v AS node, o.bucket, max(o.rho) AS rho
+                     FROM ball b JOIN obs o ON b.u = o.node
+                     GROUP BY b.v, o.bucket)
+            SELECT node AS node_name,
+                   CAST(sum(rho) AS INT) AS rho_sum,
+                   CAST(16 - count(*) AS INT) AS zero_regs
+            FROM regs GROUP BY node
+        """,
         "mis_r2": _mis_unrolled_sql(2),
         "coreness_r2": _coreness_unrolled_sql(2),
         "katz_k4": _katz_unrolled_sql(4),

@@ -56,15 +56,29 @@ def _alpha(m: int) -> float:
     return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
 
 
-def hll_init(nodes: DataFrame, b: int = 6, seed: str = "anf") -> DataFrame:
+def hll_init(
+    nodes: DataFrame, b: int = 6, seed: str = "anf", hash: str = "xxhash64"
+) -> DataFrame:
     """[node, sk] — singleton-ball sketches: one register set per vertex
-    with the vertex's own (bucket, rho) observation."""
+    with the vertex's own (bucket, rho) observation. ``hash`` picks the
+    register hash family: ``"xxhash64"`` (production — 64-bit, fastest)
+    or ``"md5"`` (48-bit digest slice via conv(hex, 16, 10) — bit-for-bit
+    replayable in ANSI SQL, the cross-engine value-check twin used by the
+    ``anf_round`` contract oracle). Both share the identical downstream
+    max-merge recurrence."""
     m = 1 << b
-    h = F.xxhash64(F.concat_ws("|", F.lit(seed), F.col("node").cast("string")))
+    key = F.concat_ws("|", F.lit(seed), F.col("node").cast("string"))
+    if hash == "xxhash64":
+        h, width = F.xxhash64(key), 64
+    elif hash == "md5":
+        # 12 hex chars = 48 bits: exact in BIGINT/long on both engines
+        h, width = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long"), 48
+    else:
+        raise ValueError(f"unknown register hash family {hash!r}")
     bucket = h.bitwiseAND(F.lit(m - 1))
     w = F.shiftrightunsigned(h, b)
-    rho = F.when(w == 0, F.lit(64 - b + 1)).otherwise(
-        F.lit(64 - b + 1) - F.length(F.bin(w))
+    rho = F.when(w == 0, F.lit(width - b + 1)).otherwise(
+        F.lit(width - b + 1) - F.length(F.bin(w))
     )
     sk = F.array(
         *[
@@ -101,6 +115,44 @@ def _hll_estimate(m: int):
     raw = F.lit(_alpha(m) * m * m) / inv_sum
     lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     return F.when((raw <= 2.5 * m) & (zeros > 0), lin).otherwise(raw)
+
+
+def anf_register_rounds(
+    edges: DataFrame,
+    t: int = 2,
+    b: int = 4,
+    seed: str = "anf",
+    hash: str = "md5",
+    directed: bool = True,
+) -> DataFrame:
+    """[node, rho_sum, zero_regs] after exactly ``t`` register max-merge
+    rounds — the integer-exact observable of the HyperANF recurrence.
+
+    This is the contract value-check for the production
+    ``neighborhood_function`` loop: it runs the SAME ``hll_init`` +
+    ``_merge_round`` code (register max-merge along edges), but reports
+    the raw register state (sum of registers, count of zero registers)
+    instead of the floating HLL estimate, so a DuckDB twin can replay it
+    bit-for-bit: after t rounds v's register set is the bucket-wise max
+    over the t-hop out-ball of v, i.e. a plain 2-hop reachability +
+    group-max in SQL. Integer columns only — no cross-engine float
+    drift. Defaults (md5 hash family, b=4 → 16 registers, directed
+    out-balls) match the ``anf_round`` oracle."""
+    if t < 0:
+        raise ValueError("t must be >= 0")
+    m = 1 << b
+    e = (edges.select("src", "dst") if directed else symmetrize(edges)).persist()
+    sk = hll_init(vertices(edges), b=b, seed=seed, hash=hash)
+    for _ in range(t):
+        sk = _merge_round(e, sk, m).localCheckpoint(eager=True)
+    e.unpersist()
+    return sk.select(
+        "node",
+        F.aggregate(
+            "sk", F.lit(0), lambda acc, x: acc + x.cast("int")
+        ).alias("rho_sum"),
+        F.size(F.filter("sk", lambda x: x == 0)).alias("zero_regs"),
+    )
 
 
 def neighborhood_function(

@@ -129,3 +129,53 @@ def test_nf_disconnected_saturates_at_component_sizes(spark):
     nodes, adj = _adj(src, dst)
     want = _exact_nf(nodes, adj, 10)[-1]  # sum over v of |component(v)|
     assert abs(rows[-1]["nf_est"] / want - 1) < 0.2
+
+
+def test_register_rounds_match_bruteforce_ball(spark):
+    """anf_register_rounds (md5 family) == per-vertex bucket-wise max over
+    the exact t-hop OUT-ball, replayed in python from the engine's own
+    t=0 observations — the same identity the anf_round DuckDB oracle uses."""
+    from linkgraph.operators.anf import anf_register_rounds
+    from linkgraph.operators.degrees import vertices
+
+    src = np.array([0, 1, 2, 3, 0, 4])
+    dst = np.array([1, 2, 3, 0, 2, 4])  # cycle + chord + self-loop
+    e = edges_df(spark, src, dst)
+    b, m, t = 4, 16, 2
+
+    obs = {
+        r["node"]: np.array(r["sk"])
+        for r in hll_init(vertices(e), b=b, hash="md5").collect()
+    }
+    out = {v: set() for v in obs}
+    for a, bb in zip(map(int, src), map(int, dst)):
+        out[a].add(bb)
+    balls = {v: {v} for v in obs}
+    for _ in range(t):
+        balls = {v: balls[v] | set().union(*(balls[u] for u in out[v]), set())
+                 if out[v] else balls[v] for v in obs}
+    want = {
+        v: np.max(np.stack([obs[u] for u in ball]), axis=0)
+        for v, ball in balls.items()
+    }
+    got = {
+        r["node"]: (r["rho_sum"], r["zero_regs"])
+        for r in anf_register_rounds(e, t=t, b=b, hash="md5").collect()
+    }
+    assert got == {
+        v: (int(w.sum()), int((w == 0).sum())) for v, w in want.items()
+    }
+
+
+def test_hll_init_md5_and_xxhash_same_shape(spark):
+    """Both hash families yield exactly one nonzero register per vertex
+    with rho in [1, width-b+1]."""
+    src, dst, _ = karate_club()
+    e = edges_df(spark, src, dst)
+    from linkgraph.operators.degrees import vertices
+
+    for fam, width in (("xxhash64", 64), ("md5", 48)):
+        for r in hll_init(vertices(e), b=4, hash=fam).collect():
+            sk = np.array(r["sk"])
+            assert (sk > 0).sum() == 1
+            assert 1 <= sk.max() <= width - 4 + 1
