@@ -1739,13 +1739,57 @@ def q_coengagement(spark, sf_dir):
     event-type bipartite log (operators/structure.py project_bipartite)
     — two users connect weighted by how many event types they share;
     weak ties (w < 2) pruned. One pivot self-join + pair count; the
-    standard first move on an interaction log."""
+    standard first move on an interaction log. Runs through the
+    max_pivot_degree wedge-budget path (cap chosen non-binding here so
+    the census stays exact; q_coeng_capped drives the binding case)."""
     from linkgraph.operators.structure import project_bipartite
 
     return project_bipartite(
-        _bipartite_edges(spark, sf_dir), side="src", min_weight=2
+        _bipartite_edges(spark, sf_dir),
+        side="src",
+        min_weight=2,
+        max_pivot_degree=1_000_000,
     ).select(
         F.col("a").alias("user_a"), F.col("b").alias("user_b"), "w"
+    )
+
+
+def q_coeng_capped(spark, sf_dir):
+    """Windowed co-engagement with a BINDING wedge-budget cap: users
+    connect via shared (event_type, day) pivots, and pivots touched by
+    more than 60 distinct users are dropped before the self-join
+    (project_bipartite max_pivot_degree — per-pivot fan-out <= cap², the
+    100-TB posture for power-law interaction logs). The DuckDB twin
+    applies the identical degree filter, so the capped semantics are
+    value-hash-checked cross-engine."""
+    from linkgraph.operators.structure import project_bipartite
+
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("e:"),
+            F.col("event_type"),
+            F.lit("@"),
+            F.to_date("ts").cast("string"),
+        ).alias("dst"),
+    )
+    return project_bipartite(
+        e, side="src", min_weight=2, max_pivot_degree=60
+    ).select(F.col("a").alias("user_a"), F.col("b").alias("user_b"), "w")
+
+
+def q_squares_p(spark, sf_dir):
+    """DOULION-style sampled 4-cycle census (structure.py
+    square_count_doulion): md5-deterministic edge coin at p=0.5, exact
+    wedge-plan square count on the sparsified graph, 1/p⁴ scale-up —
+    the wedge budget Σ deg² drops by p², the scale path when exact
+    q_squares' hot-mid skew bites at 100×. Same engine-portable coin
+    rule as q_doulion, so fully value-checkable in SQL."""
+    from linkgraph.operators.structure import square_count_doulion
+
+    return square_count_doulion(
+        _user_transition_edges(spark, sf_dir), p=0.5
     )
 
 
@@ -2109,7 +2153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": q_msf,
         "msf_round": q_msf_round,
         "squares": q_squares,
+        "squares_p": q_squares_p,
         "coengagement": q_coengagement,
+        "coeng_capped": q_coeng_capped,
         "kmeans_round": q_kmeans_round,
         "slpa_k3": q_slpa_k3,
         "vsample": q_vsample,
@@ -3287,9 +3333,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
                               'e:' || event_type AS t
               FROM events
-            )
+            ),
+            keep AS (SELECT t FROM e GROUP BY t HAVING count(*) <= 1000000),
+            ek AS (SELECT e.u, e.t FROM e JOIN keep USING (t))
             SELECT l.u AS user_a, r.u AS user_b, count(*) AS w
-            FROM e l JOIN e r ON r.t = l.t
+            FROM ek l JOIN ek r ON r.t = l.t
+            WHERE l.u < r.u
+            GROUP BY l.u, r.u
+            HAVING count(*) >= 2
+        """,
+        "coeng_capped": """
+            WITH e AS (
+              SELECT DISTINCT
+                'u:' || CAST(user_id AS VARCHAR) AS u,
+                'e:' || event_type || '@'
+                     || CAST(CAST(ts AS DATE) AS VARCHAR) AS t
+              FROM events
+            ),
+            keep AS (SELECT t FROM e GROUP BY t HAVING count(*) <= 60),
+            ek AS (SELECT e.u, e.t FROM e JOIN keep USING (t))
+            SELECT l.u AS user_a, r.u AS user_b, count(*) AS w
+            FROM ek l JOIN ek r ON r.t = l.t
             WHERE l.u < r.u
             GROUP BY l.u, r.u
             HAVING count(*) >= 2
@@ -3856,6 +3920,38 @@ def oracle_sql() -> dict[str, str]:
                    tri.t AS sampled_triangles,
                    round(tri.t / 0.125, 6) AS triangle_estimate
             FROM tri
+        """,
+        # squares_p: md5 edge coin (p=0.5 -> cutoff 80000000) on the
+        # canonical undirected pair, exact square census on the kept
+        # graph, 1/p^4 = 16 scale-up
+        "squares_p": f"""
+            WITH raw AS ({_UTRANS}),
+            und0 AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM raw WHERE src <> dst
+            ),
+            k AS (
+              SELECT a, b FROM und0
+              WHERE substr(md5(a || '|' || b || '|squares'), 1, 8)
+                      < '80000000'
+            ),
+            undk AS (SELECT a, b FROM k UNION SELECT b AS a, a AS b FROM k),
+            cn AS (
+              SELECT l.a, r.b AS c, count(*) AS cn
+              FROM (SELECT b AS mid, a FROM undk) l
+              JOIN (SELECT a AS mid, b FROM undk) r ON r.mid = l.mid
+              WHERE l.a < r.b
+              GROUP BY l.a, r.b
+            ),
+            sq AS (
+              SELECT coalesce(CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT), 0)
+                       AS s
+              FROM cn
+            )
+            SELECT (SELECT count(*) FROM k) AS kept_edges,
+                   sq.s AS sampled_squares,
+                   round(sq.s / 0.0625, 6) AS square_estimate
+            FROM sq
         """,
         "vsample": f"""
             WITH raw AS ({_UTRANS})

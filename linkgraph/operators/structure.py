@@ -508,8 +508,9 @@ def square_count(edges: DataFrame) -> DataFrame:
     a < c halve the pair space), a (a, c)-keyed count, and a 1-row
     combine. Fan-out is Σ_b deg(b)² — the same wedge budget
     clustering_coefficients already pays; power-law mid-vertex skew at
-    100× is the known cost of exact square counting (cap or sample hubs
-    for an approximate variant)."""
+    100× is the known cost of EXACT square counting — at that scale use
+    ``square_count_doulion`` (edge-sampled unbiased estimator, wedge
+    budget shrunk by p²)."""
     sym = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -537,8 +538,56 @@ def square_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def square_count_doulion(
+    edges: DataFrame, p: float = 0.5, salt: str = "squares"
+) -> DataFrame:
+    """DOULION-style approximate 4-cycle census (Tsourakakis et al.,
+    KDD'09, applied to C4): keep each undirected edge with probability
+    ``p`` via a deterministic md5 coin on the canonical (min, max, salt)
+    key — both directions draw the same coin — then run the exact
+    ``square_count`` wedge plan on the sparsified graph and scale by
+    1/p⁴ (a square survives iff all 4 edges survive). Returns one row
+    [kept_edges, sampled_squares, square_estimate].
+
+    This is the 100-TB path for the square census: the wedge budget
+    Σ deg² drops by p² and the hot-mid skew with it, for variance
+    ~1/(p⁴·#C4). Deterministic, repartition-stable, and value-checkable
+    in ANSI SQL (the coin is the same engine-portable md5 cutoff rule as
+    ``triangle_count_doulion``). p=1 degenerates to the exact census."""
+    from linkgraph.operators.sampling import _DIGITS, hex_cutoff
+
+    if not (0 < p <= 1):
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    cutoff = hex_cutoff(p)
+    canon = F.concat_ws(
+        "|",
+        F.least(F.col("src"), F.col("dst")).cast("string"),
+        F.greatest(F.col("src"), F.col("dst")).cast("string"),
+        F.lit(salt),
+    )
+    kept = edges.filter(F.substring(F.md5(canon), 1, _DIGITS) < cutoff)
+    kept_m = (
+        kept.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("kept_edges"))
+    )
+    sq = square_count(kept).select(
+        F.col("square_count").alias("sampled_squares"),
+        F.round(F.col("square_count") / F.lit(float(p) ** 4), 6).alias(
+            "square_estimate"
+        ),
+    )
+    return kept_m.crossJoin(sq)
+
+
 def project_bipartite(
-    edges: DataFrame, side: str = "src", min_weight: int = 1
+    edges: DataFrame,
+    side: str = "src",
+    min_weight: int = 1,
+    max_pivot_degree: int | None = None,
 ) -> DataFrame:
     """One-mode projection of a bipartite edge table: two ``side``
     vertices connect iff they share an opposite-side neighbor, weighted
@@ -548,13 +597,31 @@ def project_bipartite(
 
     Plan: one self-join through the shared opposite vertex + one
     (a, b)-keyed count — the wedge budget is Σ deg² over the OPPOSITE
-    side, so prune ultra-hot opposite vertices upstream when projecting
-    interaction logs at 100× (a vertex shared by everyone adds cliques,
-    not signal). ``min_weight`` filters weak co-occurrences post-count."""
+    side. ``max_pivot_degree`` bounds that budget: pivots shared by more
+    than that many ``side`` vertices are DROPPED before the self-join
+    (one extra pivot-keyed count + semi-join), capping per-pivot fan-out
+    at cap² — the knob that keeps the projection alive on power-law
+    interaction logs at 100× (a pivot shared by everyone adds cliques,
+    not signal; same degree-tiered precedent as the hub salting in
+    plans/shards.py). None = exact projection; capped == exact whenever
+    every pivot degree <= cap (pinned in tests). ``min_weight`` filters
+    weak co-occurrences post-count."""
     if side not in ("src", "dst"):
         raise ValueError("side must be 'src' or 'dst'")
+    if max_pivot_degree is not None and max_pivot_degree < 1:
+        raise ValueError(f"max_pivot_degree must be >= 1, got {max_pivot_degree}")
     other = "dst" if side == "src" else "src"
     e = edges.select(side, other).distinct()
+    if max_pivot_degree is not None:
+        keep = (
+            e.groupBy(F.col(other).alias("pivot"))
+            .agg(F.count(F.lit(1)).alias("pdeg"))
+            .filter(F.col("pdeg") <= max_pivot_degree)
+            .select("pivot")
+        )
+        e = e.join(
+            keep.select(F.col("pivot").alias(other)), other, "left_semi"
+        )
     l = e.select(F.col(other).alias("pivot"), F.col(side).alias("a"))
     r = e.select(F.col(other).alias("pivot"), F.col(side).alias("b"))
     return (

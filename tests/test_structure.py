@@ -589,3 +589,64 @@ def test_conductance_all_isolated_label_keeps_row(spark):
     assert set(rows) == {1, 2}  # the isolated-only label still appears
     assert rows[2]["vol"] == 0 and rows[2]["cut_edges"] == 0
     assert rows[2]["conductance"] is None
+
+
+def test_project_bipartite_pivot_degree_cap(spark):
+    from linkgraph.operators.structure import project_bipartite
+
+    # pivot 10 shared by 3 users (the "hub" event), 11 by 2, 12 by 1
+    e = fx.edges_df(spark, [1, 2, 3, 1, 2, 3], [10, 10, 10, 11, 11, 12])
+    exact = {(r["a"], r["b"]): r["w"] for r in project_bipartite(e).collect()}
+    assert exact == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    # non-binding cap == exact
+    capped = {
+        (r["a"], r["b"]): r["w"]
+        for r in project_bipartite(e, max_pivot_degree=3).collect()
+    }
+    assert capped == exact
+    # binding cap drops the hub pivot's wedges only
+    capped2 = {
+        (r["a"], r["b"]): r["w"]
+        for r in project_bipartite(e, max_pivot_degree=2).collect()
+    }
+    assert capped2 == {(1, 2): 1}
+    with pytest.raises(ValueError):
+        project_bipartite(e, max_pivot_degree=0)
+
+
+def test_square_count_doulion_p1_exact_and_deterministic(spark):
+    from linkgraph.operators.structure import square_count, square_count_doulion
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    e = fx.edges_df(spark, [a for a, _ in k5], [b for _, b in k5])
+    row = square_count_doulion(e, p=1.0).collect()[0]
+    assert row["sampled_squares"] == 15 and row["square_estimate"] == 15.0
+    assert row["kept_edges"] == 10
+    # deterministic + repartition-stable at p<1
+    r1 = square_count_doulion(e, p=0.7).collect()[0]
+    r2 = square_count_doulion(e.repartition(7), p=0.7).collect()[0]
+    assert (r1["kept_edges"], r1["sampled_squares"]) == (
+        r2["kept_edges"], r2["sampled_squares"])
+    assert r1["square_estimate"] == pytest.approx(
+        r1["sampled_squares"] / 0.7**4, abs=1e-6)
+    # direction-symmetric coin: reversing edges keeps the same sample
+    rev = fx.edges_df(spark, [b for _, b in k5], [a for a, _ in k5])
+    r3 = square_count_doulion(rev, p=0.7).collect()[0]
+    assert r3["kept_edges"] == r1["kept_edges"]
+    assert r3["sampled_squares"] == r1["sampled_squares"]
+    with pytest.raises(ValueError):
+        square_count_doulion(e, p=0.0)
+
+
+def test_square_count_doulion_estimator_tracks_exact(spark):
+    """On a dense-ish graph the p=0.8 estimate lands within a loose
+    relative band of the exact census (variance bound sanity, not a
+    statistical test — the coin is deterministic)."""
+    from linkgraph.operators.structure import square_count, square_count_doulion
+
+    src, dst, _ = fx.karate_club()
+    e = fx.edges_df(spark, src, dst)
+    exact = square_count(e).collect()[0]["square_count"]
+    est = square_count_doulion(e, p=0.8).collect()[0]["square_estimate"]
+    assert exact > 0
+    assert abs(est / exact - 1) < 0.6
