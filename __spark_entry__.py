@@ -2074,8 +2074,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness gate evaluates exactly
+    # the FIRST 50 entries. Slots 1-48 are value-hash oracles that had no
+    # driver CORRECTNESS row through round 3 (the round-3 operator wave
+    # plus this round's anf_round / squares_p / coeng_capped); slots
+    # 49-50 are previously-proven anchors kept as regression canaries
+    # (edge_derivation, pagerank_k5). Everything past 50 stays covered by
+    # tests/test_entry_contract.py (all oracles, every round) — rows-only
+    # entries are deliberately last so no window slot is spent on a
+    # weaker check.
     return {
+        # -- driver window: never-driver-checked value-hash oracles --
+        "louvain_round": q_louvain_round,
+        "msf_round": q_msf_round,
+        "katz_k4": q_katz_k4,
+        "eigen_k4": q_eigen_k4,
+        "betweenness_k4": q_betweenness_k4,
+        "trussness_r2": q_trussness_r2,
+        "coreness_r2": q_coreness_r2,
+        "harmonic_k4": q_harmonic_k4,
+        "salsa_k3": q_salsa_k3,
+        "sssp_r4": q_sssp_r4,
+        "closeness_k4": q_closeness_k4,
+        "anf_round": q_anf_round,
+        "bowtie": q_bowtie,
+        "conductance": q_conductance,
+        "modularity": q_modularity,
+        "ktruss_r2": q_ktruss_r2,
+        "mis_r2": q_mis_r2,
+        "matching_r2": q_matching_r2,
+        "coloring_r2": q_coloring_r2,
+        "ball2": q_ball2,
+        "eff_diameter": q_eff_diameter,
+        "knn_curve": q_knn_curve,
+        "transitivity": q_transitivity,
+        "squares": q_squares,
+        "squares_p": q_squares_p,
+        "coengagement": q_coengagement,
+        "coeng_capped": q_coeng_capped,
+        "adamic_adar": q_adamic_adar,
+        "link_scores": q_link_scores,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "randwalk_k3": q_randwalk_k3,
+        "wrandwalk_k3": q_wrandwalk_k3,
+        "node2vec_k3": q_node2vec_k3,
+        "slpa_k3": q_slpa_k3,
+        "vsample": q_vsample,
+        "doulion": q_doulion,
+        "cms_hh": q_cms_hh,
+        "emb_cov": q_emb_cov,
+        "kmeans_round": q_kmeans_round,
+        "label_centroids": q_label_centroids,
+        "centroid_cosine": q_centroid_cosine,
+        "emb_near_pairs": q_emb_near_pairs,
+        "powerlaw_alpha": q_powerlaw_alpha,
+        "bm25": q_bm25,
+        "tfidf_topk": q_tfidf_topk,
+        "funnel3": q_funnel3,
+        "temporal_r3": q_temporal_r3,
+        # -- driver window: proven anchors as regression canaries --
         "edge_derivation": q_edge_derivation,
+        "pagerank_k5": q_pagerank_k5,
+        # ---- end of the driver's 50-entry window ----
         "out_degrees": q_out_degrees,
         "in_degrees": q_in_degrees,
         "dangling": q_dangling,
@@ -2085,13 +2146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_twophase": q_components_twophase,
         "scc": q_scc,
         "bfs_hops": q_bfs_hops,
-        "pagerank": q_pagerank,
-        "stream_rank": q_stream_rank,
-        "pagerank_k5": q_pagerank_k5,
         "pagerank_b_k5": q_pagerank_b_k5,
         "pagerank_w_k5": q_pagerank_w_k5,
-        "lpa": q_lpa,
         "lpa_k3": q_lpa_k3,
+        "lpa_round": q_lpa_round,
         "triangles": q_triangles,
         "exact_dedup": q_exact_dedup,
         "chunk_dedup": q_chunk_dedup,
@@ -2101,18 +2159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash": q_simhash,
         "sessionize": q_sessionize,
-        "lpa_round": q_lpa_round,
         "word_jaccard": q_word_jaccard,
         "neardup_clusters": q_neardup_clusters,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "winnowing": q_winnowing,
         "resize_plan": q_resize_plan,
         "frame_sample": q_frame_sample,
-        "decode_features": q_decode_features,
         "tpch_pricing": q_tpch_pricing,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_nation_window": q_tpch_nation_window,
@@ -2125,59 +2176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_r3": q_kcore_r3,
         "ppr_k5": q_ppr_k5,
         "clustering": q_clustering,
-        "adamic_adar": q_adamic_adar,
-        "link_scores": q_link_scores,
-        "reciprocity": q_reciprocity,
-        "assortativity": q_assortativity,
-        "ktruss_r2": q_ktruss_r2,
-        "randwalk_k3": q_randwalk_k3,
-        "wrandwalk_k3": q_wrandwalk_k3,
-        "knn_curve": q_knn_curve,
-        "harmonic_k4": q_harmonic_k4,
-        "eff_diameter": q_eff_diameter,
-        "betweenness_k4": q_betweenness_k4,
-        "sssp_r4": q_sssp_r4,
-        "mis_r2": q_mis_r2,
-        "coreness_r2": q_coreness_r2,
-        "katz_k4": q_katz_k4,
-        "modularity": q_modularity,
-        "louvain": q_louvain,
-        "louvain_round": q_louvain_round,
-        "conductance": q_conductance,
-        "bm25": q_bm25,
-        "bowtie": q_bowtie,
-        "tfidf_topk": q_tfidf_topk,
-        "cms_hh": q_cms_hh,
-        "node2vec_k3": q_node2vec_k3,
-        "emb_cov": q_emb_cov,
-        "msf": q_msf,
-        "msf_round": q_msf_round,
-        "squares": q_squares,
-        "squares_p": q_squares_p,
-        "coengagement": q_coengagement,
-        "coeng_capped": q_coeng_capped,
-        "kmeans_round": q_kmeans_round,
-        "slpa_k3": q_slpa_k3,
-        "vsample": q_vsample,
-        "doulion": q_doulion,
-        "eigen_k4": q_eigen_k4,
-        "trussness_r2": q_trussness_r2,
-        "salsa_k3": q_salsa_k3,
-        "closeness_k4": q_closeness_k4,
-        "matching_r2": q_matching_r2,
-        "ball2": q_ball2,
-        "coloring_r2": q_coloring_r2,
-        "anf_curve": q_anf_curve,
-        "anf_round": q_anf_round,
-        "transitivity": q_transitivity,
-        "funnel3": q_funnel3,
-        "temporal_r3": q_temporal_r3,
-        "label_centroids": q_label_centroids,
-        "centroid_cosine": q_centroid_cosine,
-        "powerlaw_alpha": q_powerlaw_alpha,
         "rich_club": q_rich_club,
-        "len_percentiles": q_len_percentiles,
         "unigram_xent": q_unigram_xent,
+        "len_percentiles": q_len_percentiles,
         "top_bigrams": q_top_bigrams,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
@@ -2187,8 +2188,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
         "customers_few_orders": q_customers_few_orders,
-        "emb_near_pairs": q_emb_near_pairs,
         "event_windows": q_event_windows,
+        # -- rows-only entries (no ANSI-SQL twin; see docstrings) --
+        "pagerank": q_pagerank,
+        "stream_rank": q_stream_rank,
+        "lpa": q_lpa,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash": q_simhash,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "winnowing": q_winnowing,
+        "decode_features": q_decode_features,
+        "louvain": q_louvain,
+        "msf": q_msf,
+        "anf_curve": q_anf_curve,
     }
 
 
