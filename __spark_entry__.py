@@ -389,6 +389,69 @@ def q_pagerank_b_k5(spark, sf_dir):
     )
 
 
+def q_pagerank_ws_k5(spark, sf_dir):
+    """Weighted PageRank through the SHARDED CSR engine (plans/shards.py
+    per-edge weight sidecar — the reference's COO data[] slot,
+    readers/mtx_sparse.h:123-132 — + the fused batch kernel), five fixed
+    Family-A iterations on the same reply-count-weighted graph as
+    q_pagerank_w_k5. Node names are densified via xxhash64 for the dense
+    vector layout and mapped back before returning, so the SAME
+    unrolled-CTE oracle value-checks the fast path — driver-level proof
+    that the weighted kernel (gather ∘ weight-stream multiply ∘ segment
+    reduce) computes the identical recurrence."""
+    from linkgraph.operators.pagerank import pagerank_sharded
+
+    edges = (
+        _user_transition_edges(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ids = edges.select(
+        F.xxhash64("src").alias("src"),
+        F.xxhash64("dst").alias("dst"),
+        "weight",
+    )
+    res = pagerank_sharded(
+        ids, eps=0.0, max_iter=5, check_convergence=False, weight_col="weight"
+    )
+    names = (
+        edges.select(F.col("src").alias("node_name"))
+        .union(edges.select("dst"))
+        .distinct()
+        .withColumn("node", F.xxhash64("node_name"))
+    )
+    return res.ranks.join(names, "node").select(
+        "node_name", F.round("rank", 8).alias("rank5")
+    )
+
+
+def q_pagerank_bs_k5(spark, sf_dir):
+    """Family-B PageRank through the SHARDED engine (batch kernel with the
+    family-aware combine: plain (1-d)/n base, leaking mass, ONE final
+    sum-normalization applied by the driver), five fixed iterations on
+    the same bipartite graph as q_pagerank_b_k5, names densified via
+    xxhash64 and mapped back — the second semantic family's fast path,
+    value-checked by the same unrolled-CTE B oracle."""
+    from linkgraph.operators.pagerank import pagerank_sharded
+
+    edges = _bipartite_edges(spark, sf_dir)
+    ids = edges.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    )
+    res = pagerank_sharded(
+        ids, eps=0.0, max_iter=5, check_convergence=False, family="b"
+    )
+    names = (
+        edges.select(F.col("src").alias("node_name"))
+        .union(edges.select("dst"))
+        .distinct()
+        .withColumn("node", F.xxhash64("node_name"))
+    )
+    return res.ranks.join(names, "node").select(
+        "node_name", F.round("rank", 8).alias("rank5")
+    )
+
+
 def q_lpa(spark, sf_dir):
     """Label propagation (loop — rows-only; exactness pinned in tests/)."""
     from linkgraph.operators.lpa import label_propagation
@@ -2128,15 +2191,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "centroid_cosine": q_centroid_cosine,
         "emb_near_pairs": q_emb_near_pairs,
-        "powerlaw_alpha": q_powerlaw_alpha,
         "bm25": q_bm25,
         "tfidf_topk": q_tfidf_topk,
         "funnel3": q_funnel3,
         "temporal_r3": q_temporal_r3,
-        # -- driver window: proven anchors as regression canaries --
+        # -- driver window: round-4 sharded-engine fast-path proofs --
+        "pagerank_ws_k5": q_pagerank_ws_k5,
+        "pagerank_bs_k5": q_pagerank_bs_k5,
+        # -- driver window: proven anchor as regression canary --
         "edge_derivation": q_edge_derivation,
-        "pagerank_k5": q_pagerank_k5,
         # ---- end of the driver's 50-entry window ----
+        "pagerank_k5": q_pagerank_k5,
+        "powerlaw_alpha": q_powerlaw_alpha,
         "out_degrees": q_out_degrees,
         "in_degrees": q_in_degrees,
         "dangling": q_dangling,
@@ -3220,6 +3286,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_k5": _pagerank_unrolled_sql(5),
         "pagerank_b_k5": _pagerank_unrolled_sql(5, family="b"),
         "pagerank_w_k5": _pagerank_unrolled_sql(5, weighted=True),
+        # same recurrences, computed by the sharded CSR engine instead of
+        # the dataframe loop — engine-agnostic oracles by design
+        "pagerank_ws_k5": _pagerank_unrolled_sql(5, weighted=True),
+        "pagerank_bs_k5": _pagerank_unrolled_sql(5, family="b"),
         "hits_k3": _hits_unrolled_sql(3),
         "kcore_r3": _kcore_unrolled_sql(3, 3),
         "ppr_k5": _ppr_unrolled_sql(5),

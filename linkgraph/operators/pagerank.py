@@ -373,8 +373,10 @@ def pagerank_sharded(
     batch: bool | None = None,
     fused: bool | None = None,
     mesh_transport: str | None = None,
+    family: str = "a",
+    weight_col: str | None = None,
 ) -> PageRankResult:
-    """Fast path: Family-A PageRank over persisted CSR shards with a numpy
+    """Fast path: PageRank over persisted CSR shards with a numpy
     gather-scatter kernel (plans/shards.py). Semantics identical to
     ``pagerank_dataframe`` (asserted allclose 1e-6 in tests). Three physical
     regimes, the reference MPI loop (pagerank_custom_mpi.h:40-79)
@@ -402,7 +404,17 @@ def pagerank_sharded(
 
     from linkgraph.plans.shards import ShardedGraph
 
-    g = sharded_graph or ShardedGraph.build(edges, num_shards=num_shards)
+    if family not in ("a", "b"):
+        raise ValueError(f"family must be 'a' or 'b', got {family!r}")
+    if sharded_graph is not None and weight_col is not None and not sharded_graph.weighted:
+        raise ValueError(
+            "pagerank_sharded: weight_col given but the prebuilt "
+            "sharded_graph was built unweighted — rebuild with "
+            "ShardedGraph.build(..., weight_col=...)"
+        )
+    g = sharded_graph or ShardedGraph.build(
+        edges, num_shards=num_shards, weight_col=weight_col
+    )
     spark = g.spark
     n = g.n
 
@@ -424,7 +436,7 @@ def pagerank_sharded(
         res = pagerank_barrier(
             d=d, eps=eps, max_iter=max_iter,
             check_convergence=check_convergence, store=store, run_id=run_id,
-            sharded_graph=g, mesh_transport=mesh_transport,
+            sharded_graph=g, mesh_transport=mesh_transport, family=family,
         )
         ranks_df = res.ranks
         if sharded_graph is None:
@@ -457,7 +469,8 @@ def pagerank_sharded(
             k = min(16, max_iter - it)
             t0 = time.monotonic()
             rank, norms, masses, nnz_total, kernel_ms = g.spmv_batch(
-                rank, k=k, d=d, eps=eps, check_convergence=check_convergence
+                rank, k=k, d=d, eps=eps, check_convergence=check_convergence,
+                family=family,
             )
             job_ms = (time.monotonic() - t0) * 1e3
             for j, (norm_j, mass_j) in enumerate(zip(norms, masses)):
@@ -479,8 +492,11 @@ def pagerank_sharded(
     start_loop = it
     for it in range(start_loop + 1, max_iter + 1) if not converged else []:
         t0 = time.monotonic()
-        leaked = float(rank[g.dangling_mask].sum())
-        base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+        if family == "b":
+            base = (1.0 - d) / n
+        else:
+            leaked = float(rank[g.dangling_mask].sum())
+            base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
         idx, partial, part_metrics = g.spmv_partials(rank)
         # second-level combine of (salted) partials: one dense bincount
         # (np.add.at is ~20× slower per element)
@@ -515,6 +531,9 @@ def pagerank_sharded(
             converged = True
             break
 
+    if family == "b":
+        # ONE final sum-normalization (pagerank_OCL.h:156-161)
+        rank = rank / rank.sum()
     ranks_df = g.ranks_df(rank)
     if sharded_graph is None:
         # pin the distributed result in executor storage before the owned
@@ -542,8 +561,11 @@ def choose_strategy(
     materialization — loading a shard layout's node arrays just to decide
     to fall back to the dataframe engine would defeat the budget."""
     budget = dense_budget_bytes if dense_budget_bytes is not None else DENSE_BUDGET_BYTES
-    if family != "a" or weighted:
-        return "dataframe"
+    # family "b" and weighted graphs run through the SAME shard/barrier
+    # engines since the per-edge weight sidecar + family-aware combine
+    # landed (round 4); only the dense-vector budget and non-integral ids
+    # (checked by the caller) force the dataframe plan
+    del family, weighted  # kept for signature stability
     if n * DENSE_BYTES_PER_VERTEX > budget:
         return "dataframe"
     if m <= 64_000_000 and not checkpointed:
@@ -593,21 +615,32 @@ def pagerank(
         )
 
     if strategy == "auto":
+        integral = ("byte", "short", "int", "long", "integer", "bigint")
         if sharded_graph is not None:
             n_est, m_est = sharded_graph.n, sharded_graph.m
-        elif family != "a" or weight_col is not None:
-            n_est = m_est = 0  # dataframe regardless; skip the counts
+            strategy = choose_strategy(
+                n_est, m_est, family=family, weighted=weight_col is not None,
+                checkpointed=store is not None and run_id is not None,
+                dense_budget_bytes=budget,
+            )
+        elif any(
+            dict(edges.dtypes).get(c) not in integral for c in ("src", "dst")
+        ):
+            # the shard layout's dense vectors need integral ids — string
+            # graphs take the unbounded dataframe plan (callers wanting the
+            # fast path densify first, e.g. F.xxhash64 — q_pagerank pattern)
+            strategy = "dataframe"
         else:
             # two cheap O(m) aggregations; one-time vs. the whole run
             from linkgraph.operators.degrees import vertices as _verts
 
             n_est = _verts(edges).count()
             m_est = edges.count()
-        strategy = choose_strategy(
-            n_est, m_est, family=family, weighted=weight_col is not None,
-            checkpointed=store is not None and run_id is not None,
-            dense_budget_bytes=budget,
-        )
+            strategy = choose_strategy(
+                n_est, m_est, family=family, weighted=weight_col is not None,
+                checkpointed=store is not None and run_id is not None,
+                dense_budget_bytes=budget,
+            )
         if strategy == "dataframe" and edges is None:
             raise ValueError(
                 f"pagerank: n={n_est} exceeds the dense-vector budget and "
@@ -621,15 +654,12 @@ def pagerank(
             check_convergence=check_convergence, store=store, run_id=run_id,
             family=family, weight_col=weight_col,
         )
-    if family != "a":
-        raise ValueError(f"family {family!r} requires strategy='dataframe'")
-    if weight_col is not None:
-        raise ValueError("weight_col requires strategy='dataframe'")
     if strategy == "sharded":
         return pagerank_sharded(
             edges, d=d, eps=eps, max_iter=max_iter,
             check_convergence=check_convergence, num_shards=num_shards,
             store=store, run_id=run_id, sharded_graph=sharded_graph,
+            family=family, weight_col=weight_col,
         )
     if strategy == "barrier":
         from linkgraph.plans.barrier import pagerank_barrier
@@ -638,6 +668,7 @@ def pagerank(
             edges, d=d, eps=eps, max_iter=max_iter,
             check_convergence=check_convergence, num_shards=num_shards,
             store=store, run_id=run_id, sharded_graph=sharded_graph,
+            family=family, weight_col=weight_col,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 

@@ -441,14 +441,30 @@ def pagerank_barrier(
     mesh_transport: str | None = None,
     replicate: bool | None = None,
     work_steal: bool | None = None,
+    family: str = "a",
+    weight_col: str | None = None,
 ):
-    """Family-A PageRank (semantics of operators/pagerank.py, SURVEY §2.8)
-    with the entire iteration loop inside one barrier stage. Returns a
-    PageRankResult whose ranks DataFrame is rebuilt from the collected
-    vector."""
+    """PageRank (semantics of operators/pagerank.py, SURVEY §2.8; family
+    "a" = per-iteration dangling redistribution, "b" = mtx/OCL leaking
+    base with ONE final sum-normalization at publish time) with the
+    entire iteration loop inside one barrier stage. Weighted layouts
+    (ShardedGraph.build weight_col) work unchanged: the per-edge weight
+    stream lives inside csr_partials and inv_od is the 0/1 dangling
+    mask. Returns a PageRankResult whose ranks DataFrame is rebuilt from
+    the collected vector."""
+    if family not in ("a", "b"):
+        raise ValueError(f"family must be 'a' or 'b', got {family!r}")
+    fam_b = family == "b"
     from linkgraph.operators.pagerank import PageRankResult
 
-    g = sharded_graph or ShardedGraph.build(edges, num_shards=num_shards)
+    if sharded_graph is not None and weight_col is not None and not sharded_graph.weighted:
+        raise ValueError(
+            "pagerank_barrier: weight_col given but the prebuilt "
+            "sharded_graph was built unweighted"
+        )
+    g = sharded_graph or ShardedGraph.build(
+        edges, num_shards=num_shards, weight_col=weight_col
+    )
     spark = g.spark
     sc = spark.sparkContext
     n, node_ids = g.n, g.node_ids
@@ -726,8 +742,11 @@ def pagerank_barrier(
                         for q in range(P)
                         for mm in (pmet if q == pid else got[(q, "met")])
                     ]
-                    leaked = float(rank[dang_idx].sum())
-                    base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+                    if fam_b:
+                        base = (1.0 - d) / n
+                    else:
+                        leaked = float(rank[dang_idx].sum())
+                        base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
                     new = np.full(n, base, dtype=np.float64)
                     if len(all_u):
                         new += d * np.bincount(all_u, weights=all_s, minlength=n)
@@ -789,8 +808,11 @@ def pagerank_barrier(
                         if flat else np.empty(0, np.float64)
                     )
                     all_met = [mm for q in order for mm in blocks[q][1]]
-                    leaked = float(rank[dang_idx].sum())
-                    base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+                    if fam_b:
+                        base = (1.0 - d) / n
+                    else:
+                        leaked = float(rank[dang_idx].sum())
+                        base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
                     new = np.full(n, base, dtype=np.float64)
                     if len(all_u):
                         new += d * np.bincount(all_u, weights=all_s, minlength=n)
@@ -855,8 +877,11 @@ def pagerank_barrier(
                 # shm-shared and tcp-private vectors stay bit-identical and
                 # every task reaches the same stop decision.
                 old_full = vecs[cur][0] if shared else rank
-                leaked = float(old_full[dang_idx].sum())
-                base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+                if fam_b:
+                    base = (1.0 - d) / n
+                else:
+                    leaked = float(old_full[dang_idx].sum())
+                    base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
                 seg = np.full(hi - lo, base, dtype=np.float64)
                 if mine:
                     all_u = np.concatenate([u for u, _ in mine])
@@ -942,6 +967,12 @@ def pagerank_barrier(
                     break
 
             if pid == 0:
+                if fam_b:
+                    # Family B's ONE final sum-normalization
+                    # (pagerank_OCL.h:156-161) — applied exactly once, at
+                    # publish; iteration checkpoints stay raw so a resume
+                    # continues the genuine leaking trajectory
+                    rank = rank / rank.sum()
                 # publish the final vector to shard storage (atomic rename)
                 # instead of yielding the n-array through collect(): the
                 # driver materializes the result table DISTRIBUTED via

@@ -199,17 +199,29 @@ _INV_CACHE: dict[tuple, np.ndarray] = {}
 
 
 def _decode_csr(path: str):
-    t = pq.read_table(path, columns=["src_idx", "dst_idx"])
+    """Returns (src_sorted, uniq_dst, starts, w_sorted) — ``w_sorted`` is a
+    0-length array for unweighted shards (the sidecar marker for "no per-
+    edge weight stream"), else the per-edge normalized weights in the same
+    dst-sorted order as src (the COO data[] array of the reference,
+    readers/mtx_sparse.h:123-132, re-sorted into our CSR layout)."""
+    t = pq.read_table(path)
     src = t.column("src_idx").to_numpy(zero_copy_only=False)
     dst = t.column("dst_idx").to_numpy(zero_copy_only=False)
+    w = (
+        t.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        if "w" in t.column_names
+        else np.empty(0, np.float64)
+    )
     if len(dst) == 0:
-        return src, np.empty(0, np.int64), np.empty(0, np.int64)
+        return src, np.empty(0, np.int64), np.empty(0, np.int64), w
     order = np.argsort(dst, kind="stable")
     src_s = np.ascontiguousarray(src[order])
+    if len(w):
+        w = np.ascontiguousarray(w[order])
     dst_s = dst[order]
     starts = np.flatnonzero(np.r_[True, np.diff(dst_s) != 0])
     uniq = dst_s[starts].astype(np.int64)
-    return src_s, uniq, starts
+    return src_s, uniq, starts, w
 
 
 def load_csr_shard(path: str):
@@ -228,16 +240,29 @@ def load_csr_shard(path: str):
     src_p = os.path.join(path, "csr_src.npy")
     uniq_p = os.path.join(path, "csr_uniq.npy")
     starts_p = os.path.join(path, "csr_starts.npy")
-    if not (os.path.exists(src_p) and os.path.exists(uniq_p) and os.path.exists(starts_p)):
-        src_s, uniq, starts = _decode_csr(path)
-        for arr, dest in ((uniq, uniq_p), (starts, starts_p), (src_s, src_p)):
+    w_p = os.path.join(path, "csr_w.npy")
+    # csr_w is ALWAYS written (0-length for unweighted shards), so sidecar
+    # completeness is a single all-exist check — a weighted shard can never
+    # be mistaken for unweighted by a missing file
+    if not all(os.path.exists(p) for p in (src_p, uniq_p, starts_p, w_p)):
+        src_s, uniq, starts, wt = _decode_csr(path)
+        for arr, dest in (
+            (uniq, uniq_p), (starts, starts_p), (wt, w_p), (src_s, src_p)
+        ):
             tmp = dest + f".tmp{os.getpid()}.npy"
             np.save(tmp, arr)
             os.replace(tmp, dest)
     src_s = np.load(src_p)
     uniq = np.load(uniq_p)
     starts = np.load(starts_p)
-    return src_s, uniq, starts, _block_plan(starts, len(src_s))
+    wt = np.load(w_p)
+    return (
+        src_s,
+        uniq,
+        starts,
+        _block_plan(starts, len(src_s)),
+        wt if len(wt) else None,
+    )
 
 
 def _load_shard(path: str, token: str = ""):
@@ -259,9 +284,10 @@ def _load_shard(path: str, token: str = ""):
 
 
 def _ent_nbytes(ent) -> int:
-    src_s, uniq, starts, plan = ent
+    src_s, uniq, starts, plan, wt = ent
     return (
         src_s.nbytes + uniq.nbytes + starts.nbytes
+        + (wt.nbytes if wt is not None else 0)
         + sum(a.nbytes for a in plan)
     )
 
@@ -362,8 +388,10 @@ def csr_partials(shard, w_rank: np.ndarray):
     compaction measurably FREEZES the process for seconds at random."""
     if len(shard) == 3:  # back-compat: plan-less tuple from older callers
         src_s, uniq, starts = shard
-        shard = (src_s, uniq, starts, _block_plan(starts, len(src_s)))
-    src_s, uniq, starts, plan = shard
+        shard = (src_s, uniq, starts, _block_plan(starts, len(src_s)), None)
+    elif len(shard) == 4:  # back-compat: weight-less tuple
+        shard = (*shard, None)
+    src_s, uniq, starts, plan, wt = shard
     nnz = len(src_s)
     if nnz == 0:
         return uniq, np.empty(0, np.float64), 0
@@ -381,6 +409,10 @@ def csr_partials(shard, w_rank: np.ndarray):
         lo, hi = los[b], his[b]
         c = scratch[: hi - lo]
         take(w_rank, src_s[lo:hi], out=c)
+        if wt is not None:
+            # weighted graphs: per-edge normalized weight stream (the COO
+            # data[] array) — one extra L1-resident multiply per block
+            c *= wt[lo:hi]
         out[s0[b]:s1[b]] += reduceat(c, flat[off[b]:off[b + 1]])
     # callers may hold the result across subsequent csr_partials calls
     # (per_shard lists in the barrier loop) — hand back a copy, not the
@@ -477,8 +509,9 @@ def _make_batch_step(rank_path: str, ctl_path: str, inv_od_path: str, token: str
             rows.extend(zip(b.column("part").to_pylist(), b.column("path").to_pylist()))
         rows.sort()  # part-ascending — the driver combine's concat order
         rank = np.load(rank_path)
-        ctl = np.load(ctl_path)  # [k, d, eps, check_convergence]
+        ctl = np.load(ctl_path)  # [k, d, eps, check_convergence, family_b]
         k, d, eps, check = int(ctl[0]), float(ctl[1]), float(ctl[2]), bool(ctl[3])
+        fam_b = bool(ctl[4]) if len(ctl) > 4 else False
         inv_od = _load_inv_od(inv_od_path, token)
         dang = np.flatnonzero(inv_od == 0.0)
         n = len(rank)
@@ -487,8 +520,11 @@ def _make_batch_step(rank_path: str, ctl_path: str, inv_od_path: str, token: str
         norms, masses = [], []
         nnz_total = 0
         for _ in range(k):
-            leaked = float(rank[dang].sum())
-            base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
+            if fam_b:  # mtx/OCL family: plain teleport base, mass leaks
+                base = (1.0 - d) / n
+            else:
+                leaked = float(rank[dang].sum())
+                base = (leaked + (1.0 - leaked) * (1.0 - d)) / n
             w_rank = rank * inv_od
             us, ss = [], []
             for _part, shard in shards:
@@ -539,6 +575,7 @@ class ShardedGraph:
     hub_count: int
     hub_threshold: int
     build_token: str = ""  # unique per build; keys the worker-side caches
+    weighted: bool = False  # per-edge w stream present; inv_od is a 0/1 mask
     _owns_dir: bool = True
     _step_df: DataFrame | None = None
     _batch_df: DataFrame | None = None
@@ -550,23 +587,68 @@ class ShardedGraph:
         hub_salt_factor: float = 1.0,
         buckets_per_shard: int = 2,
         shard_dir: str | None = None,
+        weight_col: str | None = None,
     ) -> "ShardedGraph":
         """One-time build: index vertices, plan buckets/salts on the n-row
         degree table, weight+index edges, write one parquet dir per shard.
         ``shard_dir`` defaults to a local temp dir (on a cluster: a DFS
-        path). Exactly two O(m) aggregations + one O(m) write pipeline."""
+        path). Exactly two O(m) aggregations + one O(m) write pipeline.
+
+        ``weight_col`` builds a WEIGHTED layout: parallel edges are summed,
+        each edge stores its normalized transition probability w / Σ_out w
+        as a per-edge ``w`` column (the reference's COO data[] slot,
+        readers/mtx_sparse.h:123-132), and ``inv_od`` degenerates to a
+        0/1 dangling mask — the iteration kernels then gather
+        rank·mask and multiply by the weight stream, so weighted PageRank
+        runs through the SAME sharded/barrier engines as unweighted
+        (semantics identical to pagerank_dataframe's weight_col, loud
+        guard on non-positive total out-weight included)."""
         spark = edges.sparkSession
         owns = shard_dir is None
         shard_dir = shard_dir or tempfile.mkdtemp(prefix="lg_shards_")
 
-        m = edges.count()  # parquet metadata / cheap scan
+        weighted = weight_col is not None
+        if weighted:
+            agg_e = edges.groupBy("src", "dst").agg(
+                F.sum(F.col(weight_col).cast("double")).alias("_w")
+            )
+            sums = agg_e.groupBy("src").agg(F.sum("_w").alias("_ow"))
+            wedges = (
+                agg_e.join(sums, "src")
+                .select(
+                    "src",
+                    "dst",
+                    F.when(F.col("_ow") > 0, F.col("_w") / F.col("_ow"))
+                    .otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "ShardedGraph.build: non-positive total "
+                                    "out-weight for src "
+                                ),
+                                F.col("src").cast("string"),
+                            )
+                        ).cast("double")
+                    )
+                    .alias("w"),
+                )
+                .persist()
+            )
+            m = wedges.count()  # also fires the out-weight guard
+        else:
+            wedges = None
+            m = edges.count()  # parquet metadata / cheap scan
         num_shards = num_shards or tune_shuffle_partitions(spark, m)
         n_buckets = num_shards * buckets_per_shard
 
         # 1) degree tables (the reference scan's histograms,
-        #    helpers/file_helper.h:65-88) — the only O(m) aggregations
+        #    helpers/file_helper.h:65-88) — the only O(m) aggregations.
+        # Weighted layouts bucket/salt on the AGGREGATED pair table's
+        # in-degrees (those are the actual per-dst row counts in the
+        # shards); od always comes from the raw table — it only feeds the
+        # node set and the dangling mask.
         od = out_degrees(edges).persist()
-        idg = in_degrees(edges)
+        idg = in_degrees(wedges if weighted else edges)
 
         # 2) vertex set from the degree keys (avoids a 2m-row distinct),
         #    dense index via distributed two-level prefix sums
@@ -635,17 +717,20 @@ class ShardedGraph:
         # joins through sort-merge shuffles of the edge table. Beyond the
         # cutoff (1e9-vertex graphs) the joins shuffle — correct either way.
         _bc = F.broadcast if n <= 50_000_000 else (lambda df: df)
+        edge_src = wedges if weighted else edges.select("src", "dst")
+        out_cols = [
+            F.col("src_idx").cast(idx_t).alias("src_idx"),
+            F.col("dst_idx").cast(idx_t).alias("dst_idx"),
+        ] + ([F.col("w").cast("double").alias("w")] if weighted else []) + [
+            F.col("part")
+        ]
         (
-            edges.select("src", "dst")
+            edge_src
             .join(_bc(mapping.select(F.col("node").alias("src"), F.col("idx").alias("src_idx"))), "src")
             .join(_bc(mapping.select(F.col("node").alias("dst"), F.col("idx").alias("dst_idx"))), "dst")
             .join(_bc(plan.select("dst_idx", "bucket", "salts")), "dst_idx")
             .withColumn("part", part_expr.cast("int"))
-            .select(
-                F.col("src_idx").cast(idx_t).alias("src_idx"),
-                F.col("dst_idx").cast(idx_t).alias("dst_idx"),
-                "part",
-            )
+            .select(*out_cols)
             # hash- not range-repartition, deliberately: dense part ids make
             # hash%n_parts collide (~1/e of write tasks empty, a few carrying
             # 2-4 parts — a bounded write-stage tail), but repartitionByRange
@@ -688,7 +773,12 @@ class ShardedGraph:
         node_ids = mp["node"].to_numpy()
         out_deg = mp["out_deg"].to_numpy().astype(np.float64)
         dangling_mask = out_deg == 0
-        inv_od = np.where(dangling_mask, 0.0, 1.0 / np.where(dangling_mask, 1.0, out_deg))
+        if weighted:
+            # weights ship pre-normalized per edge; the n-vector is just the
+            # dangling mask (gather rank·1, multiply by the w stream)
+            inv_od = np.where(dangling_mask, 0.0, 1.0)
+        else:
+            inv_od = np.where(dangling_mask, 0.0, 1.0 / np.where(dangling_mask, 1.0, out_deg))
         np.save(os.path.join(shard_dir, "inv_od.npy"), inv_od)
         np.save(os.path.join(shard_dir, "node_ids.npy"), node_ids)
         import json
@@ -699,12 +789,14 @@ class ShardedGraph:
             json.dump(
                 {"n": n, "m": m, "num_shards": num_shards,
                  "hub_count": hub_count, "hub_threshold": hub_threshold,
-                 "build_token": build_token},
+                 "build_token": build_token, "weighted": weighted},
                 f,
             )
         od.unpersist()
         plan.unpersist()
         mapping.unpersist()
+        if wedges is not None:
+            wedges.unpersist()
 
         return ShardedGraph(
             spark=spark,
@@ -719,6 +811,7 @@ class ShardedGraph:
             hub_count=hub_count,
             hub_threshold=hub_threshold,
             build_token=build_token,
+            weighted=weighted,
             _owns_dir=owns,
         )
 
@@ -762,6 +855,7 @@ class ShardedGraph:
             build_token=meta.get(
                 "build_token", str(os.path.getmtime(os.path.join(shard_dir, "meta.json")))
             ),
+            weighted=meta.get("weighted", False),
             _owns_dir=False,
         )
 
@@ -861,13 +955,21 @@ class ShardedGraph:
         return os.path.join(self.shard_dir, "batch_ctl.npy")
 
     def spmv_batch(self, rank: np.ndarray, k: int, d: float, eps: float,
-                   check_convergence: bool = True):
-        """Run up to ``k`` fused Family-A iterations in ONE single-task Spark
-        job (see _make_batch_step). Returns (rank, norms, masses, nnz_total,
-        kernel_wall_ms). Intended for the small-graph regime where the whole
-        CSR fits one worker's cache — pagerank_sharded picks the regime."""
+                   check_convergence: bool = True, family: str = "a"):
+        """Run up to ``k`` fused iterations in ONE single-task Spark job
+        (see _make_batch_step). ``family`` picks the semantic family
+        (SURVEY §2.8): "a" = per-iteration dangling redistribution, "b" =
+        plain (1-d)/n base with leaking mass (the caller normalizes ONCE
+        after convergence — normalizing mid-run would change the B
+        trajectory). Returns (rank, norms, masses, nnz_total,
+        kernel_wall_ms). Intended for the small-graph regime where the
+        whole CSR fits one worker's cache — pagerank_sharded picks the
+        regime."""
         self._publish_rank(rank)
-        ctl = np.array([float(k), d, eps, 1.0 if check_convergence else 0.0])
+        ctl = np.array([
+            float(k), d, eps, 1.0 if check_convergence else 0.0,
+            1.0 if family == "b" else 0.0,
+        ])
         tmp = self.ctl_path + ".tmp.npy"
         np.save(tmp, ctl)
         os.replace(tmp, self.ctl_path)

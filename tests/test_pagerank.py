@@ -193,18 +193,29 @@ def test_weighted_equal_weights_match_unweighted(spark):
     assert all(abs(gw[v] - gu[v]) < 1e-12 for v in gw)
 
 
-def test_weighted_requires_dataframe_strategy(spark):
+def test_weighted_runs_on_every_strategy(spark):
+    """Round 4 removed the weighted->dataframe forcing: the per-edge weight
+    sidecar carries w/Σw through the CSR kernel, so barrier and sharded
+    accept weight_col and agree with the dataframe plan (the strategy
+    equality suite lives in test_pagerank_sharded.py)."""
     from pyspark.sql import functions as F
 
     from linkgraph.operators.pagerank import pagerank
 
     src, dst, n = fx.toy_cycle()
     df = fx.edges_df(spark, src, dst).withColumn("weight", F.lit(1.0))
-    with pytest.raises(ValueError, match="weight_col"):
-        pagerank(df, strategy="barrier", weight_col="weight")
-    res = pagerank(df, strategy="auto", weight_col="weight", max_iter=5,
-                   check_convergence=False)
-    assert res.strategy == "dataframe"
+    res_b = pagerank(df, strategy="barrier", weight_col="weight", eps=1e-8)
+    assert res_b.strategy == "barrier"
+    res = pagerank(df, strategy="auto", weight_col="weight", eps=1e-8)
+    assert res.strategy == "sharded"
+    got_b = {r["node"]: r["rank"] for r in res_b.ranks.collect()}
+    got = {r["node"]: r["rank"] for r in res.ranks.collect()}
+    want = {
+        r["node"]: r["rank"]
+        for r in pagerank_dataframe(df, weight_col="weight", eps=1e-8).ranks.collect()
+    }
+    assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+    assert all(abs(got_b[k] - want[k]) < 1e-6 for k in want)
 
 
 def test_weighted_nonpositive_out_weight_raises(spark):
