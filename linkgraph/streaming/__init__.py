@@ -18,8 +18,11 @@ from linkgraph.streaming.triangles import (  # noqa: F401
     triangle_total,
 )
 from linkgraph.streaming.rank import (  # noqa: F401
+    delta_maintenance_log,
     rank_maintenance_log,
     read_rank_table,
+    read_rank_table_delta,
+    stream_pagerank_delta,
     stream_pagerank_maintenance,
 )
 from linkgraph.streaming.sketches import (  # noqa: F401

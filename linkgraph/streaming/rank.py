@@ -124,3 +124,298 @@ def rank_maintenance_log(spark: SparkSession, work_dir: str) -> dict | None:
     """The latest commit record (epoch, iterations-to-converge from the
     warm start, norm, converged) — how cheap maintenance was."""
     return read_manifest(spark, f"{work_dir}/ranks")
+
+
+# ---------------------------------------------------------------------------
+# Delta-push maintenance (round-4): O(affected) join work per microbatch
+# ---------------------------------------------------------------------------
+
+Y_SCHEMA = "node long, y double"
+
+
+def _solve_y(
+    full_edges: DataFrame,
+    d: float = 0.85,
+    eps_y: float = 1e-8,
+    max_iter: int = 500,
+    warm: DataFrame | None = None,
+):
+    """Solve the teleport-1 linear system y = 1 + d·Aᵀy (A = out-degree-
+    normalized adjacency with multiplicity weights; dangling columns leak —
+    the Family-B operator of operators/pagerank.py). The normalized vector
+    y/Σy equals BOTH families' converged PageRank (the A↔B fixed-point
+    identity: pi_A = pi_B/Σpi_B — see pagerank_dataframe's family doc), and
+    y is scale-canonical (every vertex's teleport term is exactly 1), which
+    is what lets stream deltas compose across batches. Returns (y_df
+    [node, y], iterations)."""
+    from pyspark.sql import functions as F
+
+    pairs = full_edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    od = pairs.groupBy("src").agg(F.sum("c").alias("od"))
+    wedges = (
+        pairs.join(od, "src")
+        .select("src", "dst", (F.col("c") / F.col("od")).alias("w"))
+        .persist()
+    )
+    verts = (
+        full_edges.select(F.col("src").alias("node"))
+        .unionByName(full_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if warm is not None:
+        y = verts.join(warm, "node", "left").select(
+            "node", F.coalesce("y", F.lit(1.0)).alias("y")
+        )
+    else:
+        y = verts.select("node", F.lit(1.0).alias("y"))
+    y = y.localCheckpoint(eager=True)
+    it = 0
+    for it in range(1, max_iter + 1):
+        contrib = (
+            wedges.join(y.select(F.col("node").alias("src"), "y"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("y") * F.col("w")).alias("contrib"))
+        )
+        new_y = (
+            y.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(1.0) + F.lit(d) * F.coalesce("contrib", F.lit(0.0))).alias("y"),
+                F.col("y").alias("y_old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = new_y.agg(
+            F.sum(F.pow(F.col("y") - F.col("y_old"), 2)).alias("sq")
+        ).first()["sq"]
+        y = new_y.select("node", "y")
+        if float(delta) ** 0.5 <= eps_y:
+            break
+    wedges.unpersist()
+    return y, it
+
+
+def stream_pagerank_delta(
+    edges: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    d: float = 0.85,
+    eps_y: float = 1e-8,
+    churn_threshold: float = 0.05,
+    push_group: int = 10,
+    available_now: bool = False,
+):
+    """Streaming PageRank maintenance by RESIDUAL DELTA PUSH — per-batch
+    join work O(affected), not O(m) (round-3 VERDICT #5).
+
+    State is the teleport-1 solution y of (I − d·Aᵀ)y = 1 (`_solve_y`);
+    the public rank table is y/Σy, which equals the converged Family-A
+    PageRank exactly (pinned to 1e-6 against a cold pagerank_dataframe
+    after every drop in tests). Because the system is LINEAR in the
+    teleport vector, an edge microbatch only perturbs the right-hand
+    residual locally:
+
+        rho = d·(A_newᵀ − A_oldᵀ)·y0,   y_new = y0 + Σ_{k≥0} (d·A_newᵀ)^k rho
+
+    rho's support is exactly the out-neighborhoods of srcs whose edge set
+    changed (an out-degree change rescales that src's existing edges too —
+    both terms live on `affected` srcs), plus nothing else; the push series
+    is the Gauss-Southwell/Jacobi residual iteration whose frontier grows
+    one hop per round and whose L1 mass contracts by ≥ d per round (column
+    sums of d·Aᵀ ≤ d), so the truncation tail after stopping is bounded by
+    ‖delta_K‖₁·d/(1−d) ≤ eps_y. Rounds are chained lazily in groups of
+    ``push_group`` between eager checkpoints — one Spark job per group, not
+    per hop.
+
+    Fallbacks keep the scheme honest: a batch whose affected out-edge mass
+    exceeds ``churn_threshold``·m, or the first batch, runs a full
+    `_solve_y` (warm-started) instead — delta push wins only when the
+    change is local, and the threshold says when.
+
+    Scale notes: the per-round join `wedges ⋈ delta` is broadcast-shaped
+    (the frontier is small by construction); on a real cluster the
+    maintained edge table would be bucketed by src so the scan side prunes
+    too. The per-batch O(m) pair-count aggregation that builds `wedges`
+    is the one non-delta cost — the same one-pass cost streaming/hubs.py
+    pays, and incremental pair-count maintenance composes the same way if
+    it ever dominates.
+
+    Durability: same epoch-idempotent layout + atomic manifest protocol as
+    stream_pagerank_maintenance (edges/epoch=k, y/snap=k, y/manifest-k);
+    a replayed epoch k with a committed manifest ≥ k is a no-op, so crash
+    replay can never double-apply a delta."""
+    from pyspark.sql import functions as F
+
+    edges_root = f"{work_dir}/edges"
+    y_root = f"{work_dir}/y"
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        prev = read_manifest(spark, y_root)
+        if prev is not None and int(prev["epoch"]) >= epoch_id:
+            return  # replay of an already-committed epoch
+        batch.select("src", "dst").write.mode("overwrite").parquet(
+            f"{edges_root}/epoch={epoch_id}"
+        )
+        all_e = spark.read.schema(EDGE_SCHEMA + ", epoch int").option(
+            "basePath", edges_root
+        ).parquet(f"{edges_root}/epoch=*")
+        full = all_e.select("src", "dst")
+        old = all_e.filter(F.col("epoch") != epoch_id).select("src", "dst")
+        bpairs = (
+            spark.read.parquet(f"{edges_root}/epoch={epoch_id}")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("cb"))
+            .persist()
+        )
+
+        mode, rounds, rho_l1 = "full", 0, None
+        y_old = (
+            spark.read.schema(Y_SCHEMA).parquet(prev["path"])
+            if prev is not None
+            else None
+        )
+        m_old = old.count()
+        batch_rows = int(
+            bpairs.agg(F.sum("cb").alias("s")).first()["s"] or 0
+        )
+        # affected srcs' TOTAL out-edge mass (old rows rescale too)
+        affected = bpairs.select("src").distinct()
+        aff_old = old.join(affected, "src", "left_semi")
+        aff_old_rows = aff_old.count()
+        churn = (aff_old_rows + batch_rows) / max(1, m_old)
+        if prev is None or churn > churn_threshold:
+            y_new, rounds = _solve_y(full, d=d, eps_y=eps_y, warm=y_old)
+        else:
+            mode = "delta"
+            # --- residual rho on the affected out-neighborhoods ---
+            old_aff_pairs = aff_old.groupBy("src", "dst").agg(
+                F.count(F.lit(1)).alias("co")
+            )
+            new_aff_pairs = (
+                old_aff_pairs.join(bpairs, ["src", "dst"], "full_outer")
+                .select(
+                    "src", "dst",
+                    (F.coalesce("co", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cn"),
+                )
+            )
+            od_old = old_aff_pairs.groupBy("src").agg(F.sum("co").alias("odo"))
+            od_new = new_aff_pairs.groupBy("src").agg(F.sum("cn").alias("odn"))
+            y_src = F.coalesce("y", F.lit(1.0))  # new srcs enter at teleport 1
+            new_term = (
+                new_aff_pairs.join(od_new, "src")
+                .join(y_old.select(F.col("node").alias("src"), "y"), "src", "left")
+                .select("dst", (y_src * F.col("cn") / F.col("odn")).alias("t"))
+            )
+            old_term = (
+                old_aff_pairs.join(od_old, "src")
+                .join(y_old.select(F.col("node").alias("src"), "y"), "src", "left")
+                .select("dst", (-y_src * F.col("co") / F.col("odo")).alias("t"))
+            )
+            rho = (
+                new_term.unionByName(old_term)
+                .groupBy(F.col("dst").alias("node"))
+                .agg((F.lit(d) * F.sum("t")).alias("dv"))
+                .filter(F.col("dv") != 0.0)
+                .localCheckpoint(eager=True)
+            )
+            rho_l1 = float(
+                rho.agg(F.sum(F.abs("dv")).alias("l1")).first()["l1"] or 0.0
+            )
+            # --- push series: total = rho + Σ (d·Aᵀ)^k rho ---
+            pairs_new = full.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+            odf = pairs_new.groupBy("src").agg(F.sum("c").alias("od"))
+            wedges = (
+                pairs_new.join(odf, "src")
+                .select("src", "dst", (F.col("c") / F.col("od")).alias("w"))
+                .persist()
+            )
+            total = rho
+            delta = rho
+            tail = rho_l1 * d / (1.0 - d)
+            while tail > eps_y and rho_l1 > 0.0:
+                for _ in range(push_group):
+                    delta = (
+                        wedges.join(
+                            delta.select(F.col("node").alias("src"), "dv"), "src"
+                        )
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg((F.lit(d) * F.sum(F.col("dv") * F.col("w"))).alias("dv"))
+                    )
+                    total = total.unionByName(delta)
+                    rounds += 1
+                delta = delta.localCheckpoint(eager=True)
+                total = (
+                    total.groupBy("node").agg(F.sum("dv").alias("dv"))
+                    .localCheckpoint(eager=True)
+                )
+                l1 = float(
+                    delta.agg(F.sum(F.abs("dv")).alias("l1")).first()["l1"] or 0.0
+                )
+                tail = l1 * d / (1.0 - d)
+            # --- apply: y0 (old ∪ teleport-1 rows for new vertices) + total
+            verts_new = (
+                full.select(F.col("src").alias("node"))
+                .unionByName(full.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            y_new = (
+                verts_new.join(y_old, "node", "left")
+                .join(total, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.coalesce("y", F.lit(1.0))
+                        + F.coalesce("dv", F.lit(0.0))
+                    ).alias("y"),
+                )
+            )
+            wedges.unpersist()
+
+        snap_path = f"{y_root}/snap={epoch_id}"
+        y_new.write.mode("overwrite").parquet(snap_path)
+        bpairs.unpersist()
+        write_manifest(
+            spark,
+            y_root,
+            epoch_id,
+            {
+                "epoch": epoch_id,
+                "path": snap_path,
+                "mode": mode,
+                "rounds": rounds,
+                "rho_l1": rho_l1,
+                "churn": churn,
+                "batch_rows": batch_rows,
+            },
+        )
+
+    writer = (
+        edges.writeStream.outputMode("append")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rank_table_delta(spark: SparkSession, work_dir: str) -> DataFrame:
+    """[node, rank] — the latest committed delta-push state, normalized
+    (rank = y/Σy == converged Family-A PageRank)."""
+    from pyspark.sql import functions as F
+
+    m = read_manifest(spark, f"{work_dir}/y")
+    if m is None:
+        raise FileNotFoundError(f"no committed y snapshot under {work_dir}")
+    y = spark.read.schema(Y_SCHEMA).parquet(m["path"])
+    total = y.agg(F.sum("y")).first()[0]
+    return y.select("node", (F.col("y") / F.lit(float(total))).alias("rank"))
+
+
+def delta_maintenance_log(spark: SparkSession, work_dir: str) -> dict | None:
+    """Latest commit record: mode (full|delta), push rounds, residual L1,
+    churn fraction — evidence of how local each batch's work was."""
+    return read_manifest(spark, f"{work_dir}/y")

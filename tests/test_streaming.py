@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.sources import derive_edges, generate_transcripts
 from linkgraph.streaming import read_transcript_stream, stream_edge_counts, stream_reply_edges
+from tests import conftest as fx
 
 
 @pytest.fixture(scope="module")
@@ -454,3 +455,107 @@ def test_stream_cms_totals_incremental(spark, tmp_path):
     }
     assert est_stream == est_batch
     assert est_stream["alpha"] >= 14 and est_stream["gamma"] >= 7
+
+
+def test_stream_pagerank_delta_push(spark, tmp_path):
+    """Delta-push rank maintenance (round-3 VERDICT #5): first drop solves
+    in full, a small second drop takes the residual-push path — and after
+    EVERY drop the normalized maintained table equals a cold Family-A
+    pagerank_dataframe on everything seen (1e-6), via the A↔B fixed-point
+    identity pi_A = y/Σy."""
+    from linkgraph.operators.pagerank import pagerank_dataframe
+    from linkgraph.streaming import (
+        delta_maintenance_log,
+        read_rank_table_delta,
+        stream_pagerank_delta,
+    )
+
+    src = str(tmp_path / "transcripts")
+    work = str(tmp_path / "dwork")
+    ckpt = str(tmp_path / "dckpt")
+    os.makedirs(src)
+
+    def drain():
+        edges = stream_reply_edges(
+            read_transcript_stream(spark, src), state_ttl=False
+        ).select("src", "dst")
+        q = stream_pagerank_delta(
+            edges, work, ckpt, eps_y=1e-9, churn_threshold=0.9,
+            available_now=True,
+        )
+        assert q.awaitTermination(600), "microbatch did not finish in 600s"
+
+    def cold():
+        e = derive_edges(spark.read.parquet(src)).select("src", "dst")
+        return pagerank_dataframe(e, eps=1e-10)
+
+    def check(expect_mode):
+        got = {
+            r["node"]: r["rank"]
+            for r in read_rank_table_delta(spark, work).collect()
+        }
+        want = {r["node"]: r["rank"] for r in cold().ranks.collect()}
+        assert set(got) == set(want)
+        assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+        log = delta_maintenance_log(spark, work)
+        assert log["mode"] == expect_mode, log
+        return log
+
+    t1 = generate_transcripts(spark, n_convs=60, seed=3)
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    check("full")
+
+    # drop 2: a small DISJOINT component attaching to the shared tool
+    # sinks (actor roles prefixed) — genuinely local, so the delta path
+    # engages: rho lives on the new vertices + the old tool hubs
+    t2 = generate_transcripts(spark, n_convs=2, seed=9).select(
+        F.concat(F.lit("n2-"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx",
+        F.concat(F.lit("n2-"), F.col("role")).alias("role"),
+        "text",
+        "tool",
+        "ts",
+    )
+    t2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    log2 = check("delta")
+    assert log2["rho_l1"] > 0 and log2["rounds"] > 0
+
+    # drop 3: a small OVERLAPPING drop — existing hub srcs gain edges, so
+    # their old out-edges rescale (the old_term side of rho); the toy node
+    # space is all hubs, hence the generous churn threshold above
+    t3 = generate_transcripts(spark, n_convs=2, seed=5).withColumn(
+        "conv_id", F.concat(F.lit("r3-"), F.col("conv_id"))
+    )
+    t3.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    log3 = check("delta")
+    assert log3["rho_l1"] > 0 and log3["rounds"] > 0
+
+    # drop 4: a LARGE drop trips the churn fallback to a warm full solve
+    t4 = generate_transcripts(spark, n_convs=120, seed=11).withColumn(
+        "conv_id", F.concat(F.lit("r4-"), F.col("conv_id"))
+    )
+    t4.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    check("full")
+
+
+def test_solve_y_identity_and_family_a_equivalence(spark):
+    """_solve_y's normalized vector equals converged Family-A PageRank on a
+    dangling-heavy fixture (the A↔B identity the delta path rests on)."""
+    from linkgraph.operators.pagerank import pagerank_dataframe
+    from linkgraph.streaming.rank import _solve_y
+
+    src, dst, n = fx.toy_chain_dangling()
+    df = fx.edges_df(spark, src, dst)
+    y, iters = _solve_y(df, eps_y=1e-10)
+    tot = sum(r["y"] for r in y.collect())
+    got = {r["node"]: r["y"] / tot for r in y.collect()}
+    want = {
+        r["node"]: r["rank"]
+        for r in pagerank_dataframe(df, eps=1e-10).ranks.collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-8 for k in want)
