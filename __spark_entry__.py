@@ -311,6 +311,58 @@ def q_stream_rank(spark, sf_dir):
     return out
 
 
+def q_stream_rank_delta(spark, sf_dir):
+    """Delta-push streaming rank maintenance (streaming/rank.py
+    stream_pagerank_delta, round-3 VERDICT #5): the contract edge table
+    arrives in two chunks — the first solves the teleport-1 system in
+    full, the second (a small residual) takes the Gauss-Southwell push
+    path with O(affected) join work — and the final normalized table is
+    the SAME converged PageRank as q_pagerank / q_stream_rank (the A↔B
+    fixed-point identity; parity pinned per-drop in
+    tests/test_streaming.py). Rows-only: converged fixpoint, no ANSI-SQL
+    form."""
+    import shutil
+    import tempfile
+
+    from linkgraph.streaming.rank import read_rank_table_delta, stream_pagerank_delta
+
+    edges = _bipartite_edges(spark, sf_dir).unionByName(
+        _transition_edges(spark, sf_dir)
+    )
+    ids = edges.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    ).persist()
+    root = tempfile.mkdtemp(prefix="lg_stream_rankd_")
+    try:
+        src_dir, work, ckpt = (f"{root}/src", f"{root}/work", f"{root}/ckpt")
+        # chunk 0 = ~97% of edges (full solve), chunk 1 = a small delta
+        for chunk in (0, 1):
+            pred = F.pmod(F.xxhash64("src", "dst"), F.lit(32))
+            part = ids.filter((pred == 0) if chunk else (pred != 0))
+            part.write.mode("append").parquet(src_dir)
+            stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
+            q = stream_pagerank_delta(
+                stream, work, ckpt, eps_y=1e-8, available_now=True
+            )
+            q.awaitTermination(300)
+        names = (
+            edges.select(F.col("src").alias("node_name"))
+            .union(edges.select("dst"))
+            .distinct()
+            .withColumn("node", F.xxhash64("node_name"))
+        )
+        out = (
+            read_rank_table_delta(spark, work)
+            .join(names, "node")
+            .select("node_name", F.round("rank", 8).alias("rank"))
+        )
+        out = out.localCheckpoint(eager=True)  # pin before the temp dir dies
+    finally:
+        ids.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_lpa_k3(spark, sf_dir):
     """Three fixed synchronous LPA rounds through the real label_propagation
     loop, on STRING node ids so the smaller-label tie-break is byte-order —
@@ -2258,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows-only entries (no ANSI-SQL twin; see docstrings) --
         "pagerank": q_pagerank,
         "stream_rank": q_stream_rank,
+        "stream_rank_delta": q_stream_rank_delta,
         "lpa": q_lpa,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
