@@ -341,9 +341,7 @@ def q_stream_rank_delta(spark, sf_dir):
             part = ids.filter((pred == 0) if chunk else (pred != 0))
             part.write.mode("append").parquet(src_dir)
             stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
-            q = stream_pagerank_delta(
-                stream, work, ckpt, eps_y=1e-8, available_now=True
-            )
+            q = stream_pagerank_delta(stream, work, ckpt, available_now=True)
             q.awaitTermination(300)
         names = (
             edges.select(F.col("src").alias("node_name"))
@@ -591,6 +589,16 @@ def q_language_id(spark, sf_dir):
     from linkgraph.operators.textstats import language_id
 
     return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII-ish pattern triage over documents (textstats.pii_scan): per-doc
+    email/url/phone/ipv4 match counts + any_pii flag, single codegen'd
+    scan, RE2-safe patterns so the DuckDB oracle runs the identical
+    automaton. The drop/redact routing pass of a training-data pipeline."""
+    from linkgraph.operators.textstats import pii_scan
+
+    return pii_scan(_docs(spark, sf_dir))
 
 
 def q_corpus_filter(spark, sf_dir):
@@ -1266,6 +1274,27 @@ def q_coloring_r2(spark, sf_dir):
 
     res = greedy_coloring(_user_transition_edges(spark, sf_dir), fixed_rounds=2)
     return res.select(F.col("node").alias("node_name"), "color")
+
+
+def q_densest_r2(spark, sf_dir):
+    """First two rounds of the Bahmani-Kumar-Vassilvitskii densest-
+    subgraph parallel peel (operators/densest.py: delete ALL vertices with
+    induced degree <= 2(1+eps)·density in one shot; the densest
+    intermediate is a 2(1+eps)-approximation) on the per-user transition
+    graph — per-round (n, m, density) trajectory, value-checked via a
+    2-round unrolled-CTE oracle. Input is the bipartite ∪ global
+    transition union (the one contract graph with real degree skew: the
+    event-type hubs out-survive the uniform-degree user side, so the
+    trajectory has a non-trivial second round). The full peel's exactness
+    vs an independent numpy mirror is pinned in tests/test_densest.py."""
+    from linkgraph.operators.densest import densest_round_stats
+
+    edges = _bipartite_edges(spark, sf_dir).unionByName(
+        _transition_edges(spark, sf_dir)
+    )
+    return densest_round_stats(edges, eps=0.1, n_rounds=2).select(
+        "round", "n_nodes", "m_edges", "density"
+    )
 
 
 def q_ball2(spark, sf_dir):
@@ -2253,6 +2282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver window: proven anchor as regression canary --
         "edge_derivation": q_edge_derivation,
         # ---- end of the driver's 50-entry window ----
+        # -- round-4 additions (rotate into the window next round) --
+        "densest_r2": q_densest_r2,
+        "pii_scan": q_pii_scan,
         "pagerank_k5": q_pagerank_k5,
         "powerlaw_alpha": q_powerlaw_alpha,
         "out_degrees": q_out_degrees,
@@ -3292,6 +3324,18 @@ def _stopword_hits_sql(col: str, words: list[str]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _pii_counts_sql() -> str:
+    """One CAST(len(regexp_extract_all(...))) projection per pattern,
+    built from the SAME _PII_PATTERNS dict the Spark operator compiles —
+    the two engines can never drift."""
+    from linkgraph.operators.textstats import _PII_PATTERNS
+
+    return ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS {n}"
+        for n, p in _PII_PATTERNS.items()
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en = ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"]
     de = ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "ich", "auf"]
@@ -3381,6 +3425,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mis_r2": _mis_unrolled_sql(2),
         "coreness_r2": _coreness_unrolled_sql(2),
+        # densest-subgraph peel, 2 rounds unrolled (threshold arithmetic
+        # ordered identically to densest_round_stats: deg > 2.0*(1+eps)*
+        # (m2/2.0/n) — integer inputs, bit-identical doubles)
+        "densest_r2": f"""
+            WITH raw AS (
+              SELECT src, dst FROM ({_BIP})
+              UNION ALL SELECT src, dst FROM ({_TRANS})
+            ),
+            und AS (
+              SELECT DISTINCT src AS a, dst AS b FROM raw WHERE src <> dst
+              UNION SELECT DISTINCT dst, src FROM raw WHERE src <> dst
+            ),
+            deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY a),
+            s0 AS (SELECT count(*) AS m2, count(DISTINCT a) AS n FROM und),
+            surv AS (
+              SELECT d.node FROM deg d, s0
+              WHERE d.deg > 2.0 * 1.1 * (s0.m2 / 2.0 / s0.n)
+            ),
+            und1 AS (
+              SELECT u.a, u.b FROM und u
+              JOIN surv x ON x.node = u.a
+              JOIN surv y ON y.node = u.b
+            ),
+            s1 AS (SELECT count(*) AS m2, count(DISTINCT a) AS n FROM und1)
+            SELECT * FROM (
+              SELECT 0 AS round, n AS n_nodes,
+                     CAST(m2 / 2 AS BIGINT) AS m_edges,
+                     m2 / 2.0 / n AS density
+              FROM s0
+              UNION ALL
+              SELECT 1, n, CAST(m2 / 2 AS BIGINT),
+                     CASE WHEN n = 0 THEN NULL ELSE m2 / 2.0 / n END
+              FROM s1
+            ) WHERE n_nodes > 0
+        """,
         "katz_k4": _katz_unrolled_sql(4),
         "eigen_k4": _eigen_unrolled_sql(4),
         "trussness_r2": _trussness_unrolled_sql(2),
@@ -4184,6 +4263,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
             SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens FROM documents
+        """,
+        "pii_scan": f"""
+            WITH t AS (SELECT doc_id AS id, {_pii_counts_sql()} FROM documents)
+            SELECT id, emails, urls, phones, ipv4s,
+                   (emails + urls + phones + ipv4s) > 0 AS any_pii
+            FROM t
         """,
         "quality": f"""
             WITH t AS (

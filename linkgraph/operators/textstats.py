@@ -436,3 +436,34 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("id", "term", "rank", "tfidf")
     )
+
+
+# RE2-safe patterns (no lookaround/backrefs) so Spark's Java regex and the
+# DuckDB RE2 oracle match the same spans: training-corpus PII triage —
+# flag/count, redaction is a downstream map over the same matches
+_PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^ \t\n]+",
+    "phones": r"\+?[0-9][0-9() .-]{7,14}[0-9]",
+    "ipv4s": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII-ish pattern counts [id, emails, urls, phones,
+    ipv4s, any_pii] — the filter/report pass of a training-data pipeline
+    (decide-drop / route-to-redaction). One single-scan projection, zero
+    joins, zero UDFs: each count is size(regexp_extract_all(...)), pure
+    codegen. Patterns are deliberately RE2-compatible so the DuckDB
+    contract oracle evaluates the identical automaton; counts are
+    non-overlapping leftmost-longest matches in both engines."""
+    cols = [F.col(id_col).alias("id")]
+    flags = None
+    for name, pat in _PII_PATTERNS.items():
+        c = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        cols.append(c.cast("long").alias(name))
+        flags = c if flags is None else flags + c
+    cols.append((flags > 0).alias("any_pii"))
+    return docs.select(*cols)

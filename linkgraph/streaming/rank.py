@@ -34,6 +34,8 @@ stream's trigger interval) is the freshness/cost knob.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 from linkgraph.streaming.manifest import read_manifest, write_manifest
@@ -201,6 +203,7 @@ def stream_pagerank_delta(
     checkpoint_dir: str,
     d: float = 0.85,
     eps_y: float = 1e-8,
+    eps_rank: float = 1e-7,
     churn_threshold: float = 0.05,
     push_group: int = 10,
     available_now: bool = False,
@@ -223,9 +226,41 @@ def stream_pagerank_delta(
     is the Gauss-Southwell/Jacobi residual iteration whose frontier grows
     one hop per round and whose L1 mass contracts by ≥ d per round (column
     sums of d·Aᵀ ≤ d), so the truncation tail after stopping is bounded by
-    ‖delta_K‖₁·d/(1−d) ≤ eps_y. Rounds are chained lazily in groups of
-    ``push_group`` between eager checkpoints — one Spark job per group, not
-    per hop.
+    ‖delta_K‖₁·d/(1−d).
+
+    Stopping is SCALE-RELATIVE: the error budget is
+    ``eps_eff = max(eps_y, eps_rank·Σy)`` in L1 on the y-scale, which
+    bounds the published normalized-rank error by ``2·eps_rank`` per entry
+    (|rank_err_i| ≤ |y_err_i|/Σy + (y_i/Σy)·|ΔΣy|/Σy ≤ 2·‖y_err‖₁/Σy).
+    The default 1e-7 therefore guarantees 2e-7 max-abs on ranks per batch
+    (error compounds roughly additively across delta batches) — well inside
+    the 1e-6 parity pin — WITHOUT the absolute-1e-8-on-y overshoot that
+    cost ~2× the push rounds the tolerance actually required. Half the
+    budget pays the truncation tail; the other half pays FRONTIER PRUNING:
+    per-round entries with |dv| below an analytic threshold θ are dropped
+    (θ sized so worst-case injected mass over the analytic round budget
+    stays ≤ eps_eff/2), which is what keeps per-round work O(affected)
+    at scale instead of letting the frontier saturate to n.
+
+    The loop is ADAPTIVE to frontier density. While the frontier is
+    sparse (few src-hash buckets), each hop runs eagerly against a
+    bucket-PRUNED probe: the maintained wedge table carries a
+    pmod(xxhash64(src), 1024) bucket column and is range-partitioned +
+    sorted by it, so the in-memory columnar cache's per-batch min/max
+    stats let `bkt IN (frontier buckets)` skip every batch the frontier
+    doesn't touch — per-round SCAN work tracks the affected edges, not m.
+    Once the frontier saturates (hub-dominated graphs reach everything in
+    two hops), pruning can't help, so hops are chained lazily in groups of
+    ``push_group`` with ONE materialization per group: the group's partial
+    sum and its final hop ride one tagged union through a single
+    localCheckpoint (identical join subtrees dedup via ReusedExchange) —
+    one job per group instead of one per hop. Which regime each batch ran
+    in is recorded in the manifest (`pruned_rounds`, `frontier_rows`).
+    On small-diameter hub graphs (e.g. transcript actor graphs) the
+    saturated regime is a slower path to the same fixed point than the
+    warm full recompute — measured in BENCH/stream_delta.json — so prefer
+    stream_pagerank_maintenance there; the delta path is for graphs where
+    perturbations stay local (high diameter / bounded expansion).
 
     Fallbacks keep the scheme honest: a batch whose affected out-edge mass
     exceeds ``churn_threshold``·m, or the first batch, runs a full
@@ -272,6 +307,8 @@ def stream_pagerank_delta(
         )
 
         mode, rounds, rho_l1 = "full", 0, None
+        frontier_rows: list[int] = []
+        pruned_rounds = 0
         y_old = (
             spark.read.schema(Y_SCHEMA).parquet(prev["path"])
             if prev is not None
@@ -287,7 +324,20 @@ def stream_pagerank_delta(
         aff_old_rows = aff_old.count()
         churn = (aff_old_rows + batch_rows) / max(1, m_old)
         if prev is None or churn > churn_threshold:
-            y_new, rounds = _solve_y(full, d=d, eps_y=eps_y, warm=y_old)
+            # scale-relative solve tolerance: an L2 successive-delta of ε
+            # bounds the y error by ε·d/(1−d), so rank max-abs error by
+            # ε·d/((1−d)·Σy); with Σy ≥ n (teleport term alone) the bound
+            # below guarantees ≤ eps_rank on ranks — same budget as the
+            # push path, WITHOUT burning 5–6 extra decades of contraction
+            # on an absolute 1e-8 target over a Σy≈n/(1−d)-scale vector.
+            n_now = (
+                full.select(F.col("src").alias("node"))
+                .unionByName(full.select(F.col("dst").alias("node")))
+                .distinct()
+                .count()
+            )
+            eps_solve = max(eps_y, eps_rank * n_now * (1.0 - d) / d)
+            y_new, rounds = _solve_y(full, d=d, eps_y=eps_solve, warm=y_old)
         else:
             mode = "delta"
             # --- residual rho on the affected out-neighborhoods ---
@@ -324,37 +374,131 @@ def stream_pagerank_delta(
             rho_l1 = float(
                 rho.agg(F.sum(F.abs("dv")).alias("l1")).first()["l1"] or 0.0
             )
+            # --- scale-relative budget: tail half + pruning half ---
+            y_sum_old = float(
+                prev.get("y_sum")
+                or y_old.agg(F.sum("y").alias("s")).first()["s"]
+            )
+            n_nodes_old = int(prev.get("n_nodes") or y_old.count())
+            eps_eff = max(eps_y, eps_rank * y_sum_old)
+            # stop when truncation tail ‖delta_K‖₁·d/(1−d) ≤ eps_eff/2
+            target = 0.5 * eps_eff * (1.0 - d) / d
+            # analytic worst-case round budget at contraction d (actual
+            # contraction is faster whenever dangling columns leak mass)
+            k_budget = (
+                max(
+                    1,
+                    math.ceil(
+                        math.log(target / rho_l1) / math.log(d)
+                    ),
+                )
+                if rho_l1 > target
+                else 0
+            )
+            # prune threshold: ≤ n entries dropped per round, each ≤ θ,
+            # each amplified ≤ d/(1−d) downstream →
+            # total injected ≤ K·n·θ·d/(1−d) ≤ eps_eff/2
+            theta = (
+                0.5 * eps_eff * (1.0 - d)
+                / (d * max(1, k_budget) * max(1, n_nodes_old))
+            )
             # --- push series: total = rho + Σ (d·Aᵀ)^k rho ---
+            # The probe table carries a src-hash bucket column and is
+            # range-partitioned + sorted by it, so the in-memory columnar
+            # cache's batch stats (min/max per ~10k-row batch) let a
+            # `bkt IN (...)` filter SKIP batches no frontier src touches —
+            # the mechanism that makes a sparse-frontier round's SCAN
+            # O(affected edges), not O(m).
+            P = 1024
             pairs_new = full.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
             odf = pairs_new.groupBy("src").agg(F.sum("c").alias("od"))
             wedges = (
                 pairs_new.join(odf, "src")
-                .select("src", "dst", (F.col("c") / F.col("od")).alias("w"))
+                .select(
+                    "src",
+                    "dst",
+                    (F.col("c") / F.col("od")).alias("w"),
+                    F.pmod(F.xxhash64("src"), F.lit(P)).alias("bkt"),
+                )
+                .repartitionByRange(32, "bkt")
+                .sortWithinPartitions("bkt")
                 .persist()
             )
-            total = rho
-            delta = rho
-            tail = rho_l1 * d / (1.0 - d)
-            while tail > eps_y and rho_l1 > 0.0:
-                for _ in range(push_group):
-                    delta = (
-                        wedges.join(
-                            delta.select(F.col("node").alias("src"), "dv"), "src"
-                        )
-                        .groupBy(F.col("dst").alias("node"))
-                        .agg((F.lit(d) * F.sum(F.col("dv") * F.col("w"))).alias("dv"))
+
+            def _stats(df):
+                r = df.agg(
+                    F.sum(F.abs("dv")).alias("l1"),
+                    F.count(F.lit(1)).alias("rows"),
+                    F.collect_set(F.pmod(F.xxhash64("node"), F.lit(P))).alias("b"),
+                ).first()
+                return float(r["l1"] or 0.0), int(r["rows"] or 0), list(r["b"])
+
+            def _hop(probe, seed):
+                return (
+                    probe.join(
+                        seed.select(F.col("node").alias("src"), "dv"), "src"
                     )
-                    total = total.unionByName(delta)
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg((F.lit(d) * F.sum(F.col("dv") * F.col("w"))).alias("dv"))
+                    .filter(F.abs(F.col("dv")) > theta)
+                )
+
+            l1, _, bkts = _stats(rho)
+            total_parts = [rho]
+            delta = rho
+            frontier_rows = []
+            pruned_rounds = 0
+            since_cut = 0
+            while l1 > target and rounds < 4 * max(1, k_budget):
+                if len(bkts) <= P // 4:
+                    # SPARSE frontier: ONE job per hop — the bucket-pruned
+                    # join (cached-batch skipping keeps the scan
+                    # O(affected)) and the stats agg run together, with
+                    # persist() capturing the hop as the side effect;
+                    # lineage is cut every 10 hops so plans stay shallow
+                    nxt = _hop(wedges.where(F.col("bkt").isin(bkts)), delta).persist()
+                    l1, rows, bkts = _stats(nxt)
                     rounds += 1
-                delta = delta.localCheckpoint(eager=True)
-                total = (
-                    total.groupBy("node").agg(F.sum("dv").alias("dv"))
+                    pruned_rounds += 1
+                    since_cut += 1
+                    if since_cut >= 10:
+                        nxt = nxt.localCheckpoint(eager=True)  # from cache
+                        since_cut = 0
+                    total_parts.append(nxt)
+                    delta = nxt
+                    frontier_rows.append(rows)
+                    continue
+                # SATURATED frontier: bucket pruning can't help; fuse
+                # push_group hops into ONE job to amortize round latency.
+                # Every hop feeds the partial sum (tag 't'); the final hop
+                # additionally rides along as the next seed (tag 'd');
+                # identical join subtrees dedup via ReusedExchange.
+                group = []
+                for _ in range(push_group):
+                    delta = _hop(wedges, delta)
+                    group.append(delta)
+                    rounds += 1
+                combined = group[-1].select("node", "dv", F.lit("d").alias("t"))
+                for g in group:
+                    combined = combined.unionByName(
+                        g.select("node", "dv", F.lit("t").alias("t"))
+                    )
+                combined = (
+                    combined.groupBy("node", "t")
+                    .agg(F.sum("dv").alias("dv"))
                     .localCheckpoint(eager=True)
                 )
-                l1 = float(
-                    delta.agg(F.sum(F.abs("dv")).alias("l1")).first()["l1"] or 0.0
+                since_cut = 0
+                total_parts.append(
+                    combined.filter(F.col("t") == "t").select("node", "dv")
                 )
-                tail = l1 * d / (1.0 - d)
+                delta = combined.filter(F.col("t") == "d").select("node", "dv")
+                l1, rows, bkts = _stats(delta)
+                frontier_rows.append(rows)
+            total = total_parts[0]
+            for p in total_parts[1:]:
+                total = total.unionByName(p)
+            total = total.groupBy("node").agg(F.sum("dv").alias("dv"))
             # --- apply: y0 (old ∪ teleport-1 rows for new vertices) + total
             verts_new = (
                 full.select(F.col("src").alias("node"))
@@ -377,6 +521,15 @@ def stream_pagerank_delta(
         snap_path = f"{y_root}/snap={epoch_id}"
         y_new.write.mode("overwrite").parquet(snap_path)
         bpairs.unpersist()
+        # Σy and n ride the manifest so the NEXT batch's scale-relative
+        # stopping target costs zero extra actions; frontier_rows is the
+        # O(affected) evidence (per-round pushed rows vs the edge count)
+        snap_stats = (
+            spark.read.schema(Y_SCHEMA)
+            .parquet(snap_path)
+            .agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("n"))
+            .first()
+        )
         write_manifest(
             spark,
             y_root,
@@ -389,6 +542,10 @@ def stream_pagerank_delta(
                 "rho_l1": rho_l1,
                 "churn": churn,
                 "batch_rows": batch_rows,
+                "y_sum": float(snap_stats["s"]),
+                "n_nodes": int(snap_stats["n"]),
+                "frontier_rows": frontier_rows,
+                "pruned_rounds": pruned_rounds,
             },
         )
 
