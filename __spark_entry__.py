@@ -675,6 +675,53 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Stateful streaming sessionization (streaming/sessions.py
+    stream_sessionize, applyInPandasWithState with an O(1)-per-actor
+    (last_ts, last_eid, seq) frontier state): the events table arrives in
+    two ts-split chunks through one checkpoint, and the per-event
+    numbering equals the batch lag+cumsum rule exactly — so unlike the
+    other streaming entries this one carries a FULL value-hash oracle
+    (the sessionize CTE at event granularity)."""
+    import shutil
+    import tempfile
+
+    from linkgraph.streaming.sessions import stream_sessionize
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("t")).first()["t"]
+    root = tempfile.mkdtemp(prefix="lg_stream_sess_")
+    try:
+        src, outp, ckpt = (f"{root}/src", f"{root}/out", f"{root}/ckpt")
+        # chunk 0 strictly below the cut so the per-actor (ts, event_id)
+        # frontier can never straddle an equal-ts group across drops
+        for chunk in (0, 1):
+            part = ev.filter(
+                (F.col("ts") < cut) if chunk == 0 else (F.col("ts") >= cut)
+            )
+            part.write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long"
+            ).parquet(src)
+            q = (
+                stream_sessionize(stream, gap_seconds=1800, state_ttl=False)
+                .writeStream.format("parquet")
+                .option("path", outp)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        out = spark.read.parquet(outp).select(
+            "user_id", "event_id", "session_seq"
+        )
+        out = out.localCheckpoint(eager=True)  # pin before the temp dir dies
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_lpa_round(spark, sf_dir):
     """One synchronous LPA round from identity labels — mode of neighbor
     labels, ties to the smaller label (the deterministic building block of
@@ -939,6 +986,90 @@ def q_tpch_brand_top_suppliers(spark, sf_dir):
             "p_brand", "s_suppkey", "s_name",
             F.round("_rev", 2).cast("double").alias("revenue"), "rank",
         )
+    )
+
+
+def q_tpch_ship_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment predicate on the broadcast customer dim, a
+    date split across orders (before D) and lineitem (shipped after D) —
+    both pushed to the parquet scans — then revenue per still-open order.
+    Full result set (no top-k) so the oracle compare is tie-free."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    d = "1998-07-01"
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(d))
+        .join(o.filter(F.col("o_orderdate") < F.lit(d)), li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_date_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_tpch_returned_rev(spark, sf_dir):
+    """TPC-H Q10 shape: returned-line (l_returnflag='R') revenue per
+    (customer, nation) inside a one-year order window — fact filter pushed
+    down, two broadcast dim joins (customer, nation)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+def q_tpch_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp stood in by the lineitem part-supplier
+    co-occurrence): distinct-supplier count per (p_brand, p_size) with a
+    NOT-predicate carved out of the broadcast part dim. Exercises
+    count(DISTINCT) under a broadcast-joined group-by."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") != "Brand#1")),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
 
 
@@ -2285,6 +2416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions (rotate into the window next round) --
         "densest_r2": q_densest_r2,
         "pii_scan": q_pii_scan,
+        "stream_sessions": q_stream_sessions,
+        "tpch_ship_priority": q_tpch_ship_priority,
+        "tpch_returned_rev": q_tpch_returned_rev,
+        "tpch_part_supplier_counts": q_tpch_part_supplier_counts,
         "pagerank_k5": q_pagerank_k5,
         "powerlaw_alpha": q_powerlaw_alpha,
         "out_degrees": q_out_degrees,
@@ -4327,6 +4462,21 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS span_ms
             FROM t GROUP BY user_id, session_seq
         """,
+        "stream_sessions": """
+            WITH s AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_seq
+            FROM s
+        """,
         "lpa_round": f"""
             WITH e AS ({_BIP}),
             sym AS (
@@ -4600,6 +4750,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "tpch_ship_priority": """
+            SELECT l_orderkey,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS o_date_epoch,
+                   o_orderpriority,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                  * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        """,
+        "tpch_returned_rev": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                  * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+        """,
+        "tpch_part_supplier_counts": """
+            SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY p_brand, p_size
         """,
         "tpch_nation_window": """
             WITH monthly AS (

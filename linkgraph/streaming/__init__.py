@@ -29,3 +29,6 @@ from linkgraph.streaming.sketches import (  # noqa: F401
     read_cms_table,
     stream_cms_totals,
 )
+from linkgraph.streaming.sessions import (  # noqa: F401
+    stream_sessionize,
+)

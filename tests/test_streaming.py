@@ -559,3 +559,73 @@ def test_solve_y_identity_and_family_a_equivalence(spark):
     }
     assert set(got) == set(want)
     assert all(abs(got[k] - want[k]) < 1e-8 for k in want)
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Stateful gap-sessionization (streaming/sessions.py): two ts-ordered
+    drops through one checkpoint, output after each == batch sessionize on
+    everything seen; equal-ts events tie-break by event_id across the
+    batch boundary; a replayed row at the carried frontier is dropped."""
+    import datetime as dt
+
+    from linkgraph.operators.sessions import sessionize
+    from linkgraph.streaming import stream_sessionize
+
+    base = dt.datetime(2026, 1, 1)
+
+    def ev(eid, uid, sec):
+        return (eid, base + dt.timedelta(seconds=sec), uid)
+
+    chunk0 = [ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 2100), ev(6, 2, 0)]
+    # eid 4/5 share actor-1's frontier ts (2105 arrives twice, tie-broken
+    # by event_id); eid 3 is a REPLAY of an already-numbered row
+    chunk1 = [ev(4, 1, 2105), ev(5, 1, 2105), ev(7, 2, 5000), ev(3, 1, 2100)]
+    schema = "event_id long, ts timestamp, user_id long"
+
+    src = str(tmp_path / "events")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_sessionize(stream, gap_seconds=1800, state_ttl=False)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "drain did not finish"
+
+    def got():
+        return {
+            (r["user_id"], r["event_id"]): r["session_seq"]
+            for r in spark.read.parquet(outp).collect()
+        }
+
+    def want(rows):
+        df = spark.createDataFrame(rows, schema)
+        return {
+            (r["user_id"], r["event_id"]): r["session_seq"]
+            for r in sessionize(df, gap_seconds=1800).collect()
+        }
+
+    spark.createDataFrame(chunk0, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert got() == want(chunk0)
+
+    spark.createDataFrame(chunk1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    # replayed eid 3 contributes nothing; everything else matches batch
+    assert got() == want(chunk0 + chunk1[:-1])
+    # the hand-derivable expectations, spelled out
+    final = got()
+    assert final[(1, 1)] == 1 and final[(1, 2)] == 1
+    assert final[(1, 3)] == 2 and final[(1, 4)] == 2 and final[(1, 5)] == 2
+    assert final[(2, 6)] == 1 and final[(2, 7)] == 2
