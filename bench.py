@@ -81,7 +81,16 @@ def run() -> dict:
                  "coreness_r2", "coloring_r2", "anf_curve", "katz_k4",
                  "modularity", "eigen_k4", "trussness_r2", "salsa_k3",
                  "closeness_k4", "matching_r2", "ball2", "louvain_round",
-                 "louvain", "conductance", "bm25", "bowtie", "tfidf_topk", "cms_hh", "node2vec_k3", "emb_cov", "msf_round", "msf", "squares", "coengagement", "kmeans_round", "slpa_k3", "vsample", "doulion"]:
+                 "louvain", "conductance", "bm25", "bowtie", "tfidf_topk",
+                 "cms_hh", "node2vec_k3", "emb_cov", "msf_round", "msf",
+                 "squares", "coengagement", "kmeans_round", "slpa_k3",
+                 "vsample", "doulion",
+                 # round-4 additions (streaming drives excluded per the
+                 # contract-runtime budget; they're benched in BENCH/)
+                 "densest_r2", "pii_scan", "tpch_ship_priority",
+                 "tpch_returned_rev", "tpch_part_supplier_counts",
+                 "pagerank_ws_k5", "pagerank_bs_k5", "squares_p",
+                 "coeng_capped", "anf_round"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()  # force full execution
         queries[name] = round(time.monotonic() - t0, 3)
