@@ -2339,6 +2339,54 @@ def q_event_windows(spark, sf_dir):
     )
 
 
+def q_simrank_r2(spark, sf_dir):
+    """Two truncated-SimRank rounds (Jeh & Widom, KDD'02) over the per-user
+    event-type transition graph — structural vertex similarity by recursive
+    in-neighbor agreement, the engine's link-graph companion to
+    adamic_adar/link_scores (no reference analogue; §2.9 family). The
+    oracle unrolls the recurrence into two chained CTE rounds: round 1 is
+    the common-in-neighbor count scaled by C/(|I(a)|·|I(b)|), round 2
+    pushes the symmetric round-1 state (diagonal pinned at 1) through two
+    out-edge joins and rescales."""
+    from linkgraph.operators.simrank import simrank
+
+    return simrank(_user_transition_edges(spark, sf_dir), c=0.8, rounds=2).select(
+        "a", "b", F.round("sim", 8).alias("sim8")
+    )
+
+
+def q_ppr_sweep(spark, sf_dir):
+    """ACL PageRank-Nibble sweep cut (Andersen-Chung-Lang, FOCS'06): 4
+    personalized-PageRank steps seeded at the lexicographically-first node
+    of the SYMMETRIZED user-event bipartite graph (the undirected walk —
+    directed bipartite edges would trap the mass in the seed's 1-hop
+    ball), support ordered by p/deg, then
+    the exact conductance curve — per-prefix cut/vol as INTEGERS via ±1
+    position deltas + window cumsums (no per-prefix edge scan), φ =
+    cut/min(vol, vol(G)−vol) — truncated to the first 64 prefixes. The
+    whole pipeline (PPR recurrence, degree normalization, sweep order,
+    integer cut/vol, φ) is value-hash-checked against the unrolled-CTE
+    DuckDB twin."""
+    from linkgraph.operators.sweep import ppr_sweep
+
+    bip = _bipartite_edges(spark, sf_dir)
+    e = (
+        bip.select("src", "dst")
+        .unionByName(bip.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    seeds = e.select(F.min("src").alias("node"))
+    return ppr_sweep(e, seeds, k=4, top=64).select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("node").alias("node_name"),
+        F.round("score", 10).alias("score10"),
+        "deg",
+        "vol",
+        "cut",
+        F.round("phi", 8).alias("phi8"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank over the event-derived graph at sf0.001,
     top-20 actors by rank."""
@@ -2474,6 +2522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "customers_few_orders": q_customers_few_orders,
         "event_windows": q_event_windows,
+        "simrank_r2": q_simrank_r2,
+        "ppr_sweep": q_ppr_sweep,
         # -- rows-only entries (no ANSI-SQL twin; see docstrings) --
         "pagerank": q_pagerank,
         "stream_rank": q_stream_rank,
@@ -2657,12 +2707,17 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     """
 
 
-def _ppr_unrolled_sql(k: int, d: float = D) -> str:
-    """Personalized PageRank unrolled into k chained CTE steps
-    (operators/pagerank.py personalized_pagerank semantics): v uniform over
-    the source set (here: all bipartite src nodes), r0 = v,
-    r_{i+1} = d·(M r_i + leaked_i·v) + (1-d)·v with leaked_i read from the
-    CURRENT iterate over dangling vertices."""
+def _ppr_cte_chain(
+    k: int,
+    d: float = D,
+    srcs_sql: str = "SELECT DISTINCT src AS node FROM edges",
+    edges_sql: str = _BIP,
+) -> str:
+    """Shared WITH-body for the personalized-PageRank oracles
+    (operators/pagerank.py personalized_pagerank semantics): v uniform
+    over ``srcs_sql``, r0 = v, r_{i+1} = d·(M r_i + leaked_i·v) + (1-d)·v
+    with leaked_i read from the CURRENT iterate over dangling vertices;
+    ends at CTE r{k}."""
     steps = []
     for i in range(k):
         steps.append(f"""
@@ -2681,15 +2736,14 @@ def _ppr_unrolled_sql(k: int, d: float = D) -> str:
               FROM vv CROSS JOIN l{i}
               LEFT JOIN c{i} ON vv.node = c{i}.node
             )""")
-    return f"""
-        WITH edges AS ({_BIP}),
-        nodes AS ({_NODES}),
+    return f"""edges AS ({edges_sql}),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
         we AS (
           SELECT e.src, e.dst, 1.0 / od.out_deg AS w
           FROM edges e JOIN od ON e.src = od.src
         ),
-        srcs AS (SELECT DISTINCT src AS node FROM edges),
+        srcs AS ({srcs_sql}),
         ns AS (SELECT count(*) AS n FROM srcs),
         vv AS (
           SELECT nodes.node,
@@ -2700,8 +2754,118 @@ def _ppr_unrolled_sql(k: int, d: float = D) -> str:
           SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM od)
         ),
         r0 AS (SELECT node, v AS r FROM vv),
-        {",".join(steps)}
+        {",".join(steps)}"""
+
+
+def _ppr_unrolled_sql(k: int, d: float = D) -> str:
+    """k personalized-PageRank CTE steps, teleport uniform over all
+    bipartite src nodes (the q_ppr_k5 / q_ppr_step twin)."""
+    return f"""
+        WITH {_ppr_cte_chain(k, d)}
         SELECT node AS node_name, round(r, 8) AS rank5 FROM r{k}
+    """
+
+
+def _ppr_sweep_sql(k: int, top: int, d: float = D) -> str:
+    """Sweep-cut twin of q_ppr_sweep: k PPR steps seeded at min(src), then
+    the exact conductance curve — support ordered by r/deg (vertex-id
+    tie-break), per-prefix cut from ±1 deltas at each undirected edge's
+    min/max sweep position (edges with an unranked endpoint never get the
+    −1: they stay cut forever), vol/cut window cumsums, φ over the
+    min-side volume. The PPR runs on the SYMMETRIZED simple bipartite
+    view (directed bipartite edges leave every event node dangling, which
+    traps the mass in the seed's 1-hop ball — the undirected walk is the
+    standard local-clustering setting)."""
+    sym_bip = f"SELECT DISTINCT src, dst FROM (SELECT src, dst FROM ({_BIP}) UNION ALL SELECT dst, src FROM ({_BIP}))"
+    return f"""
+        WITH {_ppr_cte_chain(k, d, srcs_sql="SELECT min(src) AS node FROM edges", edges_sql=sym_bip)},
+        p AS (SELECT node, r FROM r{k} WHERE r > 0),
+        sym AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+        und AS (SELECT src, dst FROM sym UNION SELECT dst, src FROM sym),
+        degu AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+        ranked AS (
+          SELECT p.node, degu.deg, p.r / degu.deg AS score,
+                 CAST(row_number() OVER (
+                   ORDER BY p.r / degu.deg DESC, p.node
+                 ) AS BIGINT) AS pos
+          FROM p JOIN degu ON p.node = degu.node
+        ),
+        pairs AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+        epos AS (
+          SELECT CASE WHEN ra.pos IS NULL THEN rb.pos
+                      WHEN rb.pos IS NULL THEN ra.pos
+                      ELSE least(ra.pos, rb.pos) END AS minp,
+                 CASE WHEN ra.pos IS NOT NULL AND rb.pos IS NOT NULL
+                      THEN greatest(ra.pos, rb.pos) END AS maxp
+          FROM pairs
+          LEFT JOIN ranked ra ON pairs.a = ra.node
+          LEFT JOIN ranked rb ON pairs.b = rb.node
+          WHERE ra.pos IS NOT NULL OR rb.pos IS NOT NULL
+        ),
+        deltas AS (
+          SELECT pos, CAST(sum(dd) AS BIGINT) AS delta FROM (
+            SELECT minp AS pos, count(*) AS dd FROM epos GROUP BY minp
+            UNION ALL
+            SELECT maxp AS pos, -count(*) AS dd FROM epos
+            WHERE maxp IS NOT NULL GROUP BY maxp
+          ) GROUP BY pos
+        ),
+        m2 AS (SELECT CAST(sum(deg) AS BIGINT) AS vol_all FROM degu),
+        curve AS (
+          SELECT r.pos, r.node, r.score, r.deg,
+                 CAST(sum(r.deg) OVER (ORDER BY r.pos) AS BIGINT) AS vol,
+                 CAST(sum(coalesce(d.delta, 0)) OVER (ORDER BY r.pos)
+                      AS BIGINT) AS cut
+          FROM ranked r LEFT JOIN deltas d ON r.pos = d.pos
+        )
+        SELECT pos, node AS node_name, round(score, 10) AS score10, deg,
+               vol, cut,
+               round(CAST(cut AS DOUBLE) / least(vol, vol_all - vol), 8)
+                 AS phi8
+        FROM curve CROSS JOIN m2
+        WHERE least(vol, vol_all - vol) > 0 AND pos <= {top}
+    """
+
+
+def _simrank_sql(rounds: int = 2, c: float = 0.8) -> str:
+    """Truncated-SimRank twin of q_simrank_r2 on the per-user transition
+    graph (simple directed view): round 1 = C·|I(a)∩I(b)|/(|I(a)||I(b)|)
+    for ordered pairs a < b; round 2 pushes the symmetric round-1 state
+    plus the diagonal (s(x,x)=1) through two out-edge joins and rescales.
+    Only rounds=2 is generated (the contract pin); the Spark operator
+    generalizes the same recurrence to any round count."""
+    if rounds != 2:
+        raise ValueError("the SQL twin is generated for rounds=2 only")
+    return f"""
+        WITH raw AS ({_UTRANS}),
+        g AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        ind AS (SELECT dst AS node, count(*) AS ind FROM g GROUP BY dst),
+        diag AS (SELECT DISTINCT src AS i FROM g),
+        s1 AS (
+          SELECT e1.dst AS a, e2.dst AS b,
+                 {c} * count(*) / (max(ia.ind) * max(ib.ind)) AS s
+          FROM g e1
+          JOIN g e2 ON e1.src = e2.src AND e1.dst < e2.dst
+          JOIN ind ia ON ia.node = e1.dst
+          JOIN ind ib ON ib.node = e2.dst
+          GROUP BY e1.dst, e2.dst
+        ),
+        ssym AS (
+          SELECT a AS i, b AS j, s FROM s1
+          UNION ALL SELECT b, a, s FROM s1
+          UNION ALL SELECT i, i, 1.0 FROM diag
+        ),
+        s2 AS (
+          SELECT e1.dst AS a, e2.dst AS b,
+                 {c} * sum(ss.s) / (max(ia.ind) * max(ib.ind)) AS s
+          FROM ssym ss
+          JOIN g e1 ON e1.src = ss.i
+          JOIN g e2 ON e2.src = ss.j AND e1.dst < e2.dst
+          JOIN ind ia ON ia.node = e1.dst
+          JOIN ind ib ON ib.node = e2.dst
+          GROUP BY e1.dst, e2.dst
+        )
+        SELECT a, b, round(s, 8) AS sim8 FROM s2
     """
 
 
@@ -4801,6 +4965,8 @@ def oracle_sql() -> dict[str, str]:
                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_revenue
             FROM monthly
         """,
+        "simrank_r2": _simrank_sql(rounds=2, c=0.8),
+        "ppr_sweep": _ppr_sweep_sql(k=4, top=64),
     }
     # the two-phase algorithm must produce byte-identical components
     out["components_twophase"] = out["components"]
