@@ -44,10 +44,14 @@ def simrank(
     c: float = 0.8,
     rounds: int = 2,
     max_degree: int | None = None,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """[a, b, sim] for unordered pairs a < b with nonzero truncated-SimRank
     score after ``rounds`` iterations (the symmetric half and the diagonal
-    s(x,x)=1 are implicit). ``c`` is the decay constant."""
+    s(x,x)=1 are implicit). ``c`` is the decay constant. ``cut_lineage``
+    checkpoints the pair state per round (the default for any real run);
+    False keeps the full lineage so `.explain` shows the whole round plan
+    (scripts/explain_plans.py uses it)."""
     if not (0.0 < c < 1.0):
         raise ValueError(f"c must be in (0, 1), got {c}")
     if rounds < 1:
@@ -107,10 +111,11 @@ def simrank(
                 "b",
                 (F.lit(c) * F.col("tot") / (F.col("ia") * F.col("ib"))).alias("s"),
             )
-            .localCheckpoint(eager=True)
         )
-        if sim is not None:
-            sim.unpersist()
+        if cut_lineage:
+            new = new.localCheckpoint(eager=True)
+            if sim is not None:
+                sim.unpersist()
         sim = new
 
     g.unpersist()

@@ -135,11 +135,35 @@ def main() -> None:
         "node2vec_k3": "node2vec step: frontier-bounded edge join + "
         "edge-keyed distance-flag LEFT join + per-walk cumulative "
         "slot window",
+        "ppr_sweep": "sweep cut: after the PPR loop, ONE sort of the "
+        "support (row_number window), edge deltas as two position-"
+        "keyed partial+final counts, cut/vol as running-sum windows "
+        "over the support only — the graph is never rescanned per "
+        "prefix",
     }
     sections = []
     for name, why in picks.items():
         df = qs[name](spark, SF)
         sections.append(f"## {name}\n\n{why}\n\n```\n{plan_of(df)}```\n")
+
+    # simrank with the per-round lineage cut disabled, so the explain shows
+    # the real round plan (two out-edge equi-joins + pair-keyed sum +
+    # in-degree rescale) instead of the checkpointed-RDD scan
+    from __spark_entry__ import _user_transition_edges
+    from linkgraph.operators.simrank import simrank
+
+    sr = simrank(
+        _user_transition_edges(spark, SF), c=0.8, rounds=2, cut_lineage=False
+    )
+    sections.append(
+        "## simrank (2 rounds, lineage-uncut)\n\n"
+        "SimRank round: pair-state push through two out-edge equi-joins "
+        "(pair-keyed shuffles only) + (a,b) partial+final sum + in-degree "
+        "rescale joins — the Σ outdeg² fan-out is the capped wedge budget, "
+        "never a cross join; real runs checkpoint the pair state per round "
+        f"(this dump disables the cut to expose the loop body)\n\n"
+        f"```\n{plan_of(sr)}```\n"
+    )
 
     header = """# Physical plans of representative engine queries
 
