@@ -2406,6 +2406,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry_contract.py (all oracles, every round) — rows-only
     # entries are deliberately last so no window slot is spent on a
     # weaker check.
+    #
+    # ROUND-5 ROTATION (do this FIRST next round, before any other work):
+    # once CORRECTNESS_r04 lands for the current window, rotate the
+    # remaining never-driver-checked value-hash oracles into slots 1-N:
+    # densest_r2, pii_scan, stream_sessions, tpch_ship_priority,
+    # tpch_returned_rev, tpch_part_supplier_counts, powerlaw_alpha,
+    # rich_club, unigram_xent, len_percentiles, top_bigrams,
+    # stratified_sample, repetition, decontaminate, simrank_r2, ppr_sweep
+    # — then backfill with hash-proven anchors; keep rows-only last.
     return {
         # -- driver window: never-driver-checked value-hash oracles --
         "louvain_round": q_louvain_round,

@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.lineage import cut
 from linkgraph.operators.degrees import symmetrize, vertices
 
 
@@ -128,7 +129,10 @@ def multi_source_hops(
         metrics.append({"iteration": it, "settled": int(n_new)})
         if n_new == 0:
             break
-        settled = settled.union(new).localCheckpoint(eager=True)
+        # shuffle-rooted cut: settled-set union over the previous
+        # checkpoint — the narrow-union lineage-compounding shape
+        # (linkgraph/lineage.py)
+        settled = cut(settled.union(new))
         frontier = new
     e.unpersist()
     return BfsResult(distances=settled, iterations=it, iter_metrics=metrics)

@@ -40,6 +40,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.lineage import cut
+
 
 @dataclass
 class BowtieResult:
@@ -67,7 +69,10 @@ def _reach_from(edges: DataFrame, seeds: DataFrame, max_iter: int) -> DataFrame:
         )
         if nxt.isEmpty():
             return reached
-        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        # shuffle-rooted cut: settled-set union over the previous
+        # checkpoint — the narrow-union lineage-compounding shape
+        # (linkgraph/lineage.py)
+        reached = cut(reached.unionByName(nxt))
         frontier = nxt
     raise RuntimeError(
         f"bowtie reachability did not close within max_iter={max_iter} "

@@ -198,12 +198,21 @@ def local_move_group(
 ) -> DataFrame:
     """One full sweep group: ``classes`` half-sweep rounds (lazily
     chained, lineage cut every ``ckpt_every`` rounds) followed by the
-    canonical min-member relabel. Returns the checkpointed state."""
+    canonical min-member relabel. Returns the checkpointed state.
+
+    The cuts MUST be shuffle-rooted (lineage.cut, not bare
+    localCheckpoint): each half-sweep state is a filter-union over the
+    previous cut — the exact shape whose chained localCheckpoints
+    compound partition lineage and double per-round cost (see
+    linkgraph/lineage.py; this loop, at classes x max_groups cuts per
+    level, is where the pathology was first measured)."""
+    from linkgraph.lineage import cut
+
     for r in range(classes):
         state = _one_round(sym, state, two_m, r, classes)
         if (r + 1) % ckpt_every == 0 and r != classes - 1:
-            state = state.localCheckpoint(eager=True)
-    return _canonicalize(state).localCheckpoint(eager=True)
+            state = cut(state)
+    return cut(_canonicalize(state))
 
 
 def _init_state(wedges: DataFrame) -> DataFrame:

@@ -38,6 +38,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.lineage import cut
+
 
 @dataclass
 class SCCResult:
@@ -162,7 +164,10 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 100) -> SCCR
             )
             if nxt.count() == 0:
                 break
-            flagged_new = flagged.unionByName(nxt).localCheckpoint(eager=True)
+            # shuffle-rooted cut: the settled-set union over the previous
+            # checkpoint is the narrow-union shape that compounds
+            # partition lineage under bare localCheckpoint (lineage.py)
+            flagged_new = cut(flagged.unionByName(nxt))
             flagged.unpersist()
             flagged = flagged_new.persist()
         # component label = min member id of each color's root SCC

@@ -69,18 +69,21 @@ def main() -> None:
             }
         )
         e.unpersist()
-        print(json.dumps(rows[-1]))
+        print(json.dumps(rows[-1]), flush=True)
         if not equal:
             raise SystemExit("path-equivalence violated — do not record")
 
-    out = {
-        "what": "louvain endgame kernel vs forced-distributed, identical results asserted",
-        "default_kernel_edge_threshold": 2_000_000,
-        "cpus": cpus,
-        "rows": rows,
-    }
-    with open(os.path.join(REPO, "BENCH", "louvain_endgame.json"), "w") as f:
-        json.dump(out, f, indent=1)
+        # incremental dump: the forced-distributed path is latency-bound at
+        # hundreds of tiny BSP jobs per solve (~tens of minutes each on this
+        # host), so persist after EVERY size rather than only at the end
+        out = {
+            "what": "louvain endgame kernel vs forced-distributed, identical results asserted",
+            "default_kernel_edge_threshold": 2_000_000,
+            "cpus": cpus,
+            "rows": rows,
+        }
+        with open(os.path.join(REPO, "BENCH", "louvain_endgame.json"), "w") as f:
+            json.dump(out, f, indent=1)
     print("wrote BENCH/louvain_endgame.json")
 
 
