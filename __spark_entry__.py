@@ -2387,6 +2387,31 @@ def q_ppr_sweep(spark, sf_dir):
     )
 
 
+def q_ppr_push(spark, sf_dir):
+    """Synchronous ACL forward push (operators/push.py), 3 fixed rounds on
+    the symmetrized bipartite graph from the lexicographically-first node:
+    every over-threshold vertex pushes alpha·r to its estimate and spreads
+    (1-alpha)·r/outdeg to neighbors at once — deterministic (order-free),
+    O(support) per round rather than O(m), the batch primitive behind
+    seed-local scores at 100 TB. Estimate AND residual are both
+    value-hash-checked against the unrolled-CTE twin."""
+    from linkgraph.operators.push import ppr_push
+
+    bip = _bipartite_edges(spark, sf_dir)
+    e = (
+        bip.select("src", "dst")
+        .unionByName(bip.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    seed = e.agg(F.min("src")).first()[0]
+    res = ppr_push(e, source=seed, alpha=0.15, eps=1e-5, fixed_rounds=3)
+    return res.scores.filter((F.col("p") > 0) | (F.col("r") > 0)).select(
+        F.col("node").alias("node_name"),
+        F.round("p", 10).alias("p10"),
+        F.round("r", 10).alias("r10"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank over the event-derived graph at sf0.001,
     top-20 actors by rank."""
@@ -2413,8 +2438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # densest_r2, pii_scan, stream_sessions, tpch_ship_priority,
     # tpch_returned_rev, tpch_part_supplier_counts, powerlaw_alpha,
     # rich_club, unigram_xent, len_percentiles, top_bigrams,
-    # stratified_sample, repetition, decontaminate, simrank_r2, ppr_sweep
-    # — then backfill with hash-proven anchors; keep rows-only last.
+    # stratified_sample, repetition, decontaminate, simrank_r2, ppr_sweep,
+    # ppr_push — then backfill with hash-proven anchors; keep rows-only
+    # last.
     return {
         # -- driver window: never-driver-checked value-hash oracles --
         "louvain_round": q_louvain_round,
@@ -2533,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "simrank_r2": q_simrank_r2,
         "ppr_sweep": q_ppr_sweep,
+        "ppr_push": q_ppr_push,
         # -- rows-only entries (no ANSI-SQL twin; see docstrings) --
         "pagerank": q_pagerank,
         "stream_rank": q_stream_rank,
@@ -2833,6 +2860,50 @@ def _ppr_sweep_sql(k: int, top: int, d: float = D) -> str:
                  AS phi8
         FROM curve CROSS JOIN m2
         WHERE least(vol, vol_all - vol) > 0 AND pos <= {top}
+    """
+
+
+def _ppr_push_sql(k: int, alpha: float = 0.15, eps: float = 1e-5) -> str:
+    """Twin of q_ppr_push: k synchronous threshold-push rounds over the
+    symmetrized simple bipartite graph, seed = min(node). Per round:
+    over-threshold vertices add alpha·r to p, spread (1-alpha)·r/od, and
+    zero their residual; everyone collects incoming spread."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+            sp{i} AS (
+              SELECT e.dst AS node,
+                     sum({1.0 - alpha} * s.r / s.od) AS inc
+              FROM s{i} s JOIN edges e ON s.node = e.src
+              WHERE s.r > {eps} AND s.od > 0
+              GROUP BY e.dst
+            ),
+            s{i + 1} AS (
+              SELECT s.node, s.od,
+                     s.p + CASE WHEN s.r > {eps} AND s.od > 0
+                                THEN {alpha} * s.r ELSE 0.0 END AS p,
+                     CASE WHEN s.r > {eps} AND s.od > 0
+                          THEN 0.0 ELSE s.r END
+                       + coalesce(sp{i}.inc, 0.0) AS r
+              FROM s{i} s LEFT JOIN sp{i} ON s.node = sp{i}.node
+            )""")
+    sym_bip = (
+        f"SELECT DISTINCT src, dst FROM (SELECT src, dst FROM ({_BIP}) "
+        f"UNION ALL SELECT dst, src FROM ({_BIP}))"
+    )
+    return f"""
+        WITH edges AS ({sym_bip}),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        od AS (SELECT src AS node, count(*) AS od FROM edges GROUP BY src),
+        seed AS (SELECT min(src) AS node FROM edges),
+        s0 AS (
+          SELECT n.node, coalesce(od.od, 0) AS od, 0.0 AS p,
+                 CASE WHEN n.node = seed.node THEN 1.0 ELSE 0.0 END AS r
+          FROM nodes n CROSS JOIN seed LEFT JOIN od ON n.node = od.node
+        ),
+        {",".join(steps)}
+        SELECT node AS node_name, round(p, 10) AS p10, round(r, 10) AS r10
+        FROM s{k} WHERE p > 0 OR r > 0
     """
 
 
@@ -4976,6 +5047,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simrank_r2": _simrank_sql(rounds=2, c=0.8),
         "ppr_sweep": _ppr_sweep_sql(k=4, top=64),
+        "ppr_push": _ppr_push_sql(k=3),
     }
     # the two-phase algorithm must produce byte-identical components
     out["components_twophase"] = out["components"]

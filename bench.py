@@ -90,7 +90,8 @@ def run() -> dict:
                  "densest_r2", "pii_scan", "tpch_ship_priority",
                  "tpch_returned_rev", "tpch_part_supplier_counts",
                  "pagerank_ws_k5", "pagerank_bs_k5", "squares_p",
-                 "coeng_capped", "anf_round", "simrank_r2", "ppr_sweep"]:
+                 "coeng_capped", "anf_round", "simrank_r2", "ppr_sweep",
+                 "ppr_push"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()  # force full execution
         queries[name] = round(time.monotonic() - t0, 3)
