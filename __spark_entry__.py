@@ -28,6 +28,59 @@ from pyspark.sql import functions as F
 D = 0.85
 
 
+def _fs(col, digits):
+    """Boundary-safe contract rounding: floor(x * 10^d + 0.5) / 10^d in
+    plain IEEE-double ops.
+
+    Why not round(): Spark implements round(double, d) via exact-decimal
+    BigDecimal HALF_UP while DuckDB scales the float — and the two can
+    disagree by one step when x sits exactly on (or within 1 ulp of) a
+    representable d+1-digit .5 boundary. Exact integer-ratio metrics
+    (conductance = cut/vol, jaccard = |∩|/|∪|, …) land on such boundaries
+    with non-negligible probability, which is precisely what flipped the
+    round-4 driver hashes for conductance/modularity (local DuckDB 1.0.0
+    agreed, the driver's build did not). floor/*/+// are correctly-rounded
+    IEEE-754 ops in BOTH engines and every version of them, so this
+    expression is bit-deterministic given identical x. The DuckDB twins are
+    rewritten to the identical expression centrally in oracle_sql() (see
+    _floorscale_sql)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lit(float(10**digits))
+    return F.floor(c * s + F.lit(0.5)) / s
+
+
+def _floorscale_sql(sql: str) -> str:
+    """Rewrite every ``round(expr, d)`` in a DuckDB oracle to the
+    floor-scale expression ``floor((expr) * 1e{d} + 0.5) / 1e{d}`` — the
+    exact IEEE twin of _fs() above. Paren-aware (expr may contain nested
+    calls); innermost-first so nested rounds also rewrite."""
+    out = sql
+    while True:
+        i = out.find("round(")
+        # skip names like row_number() that merely contain "round"? none do;
+        # but guard against identifiers ending in "round" (e.g. background)
+        while i > 0 and (out[i - 1].isalnum() or out[i - 1] == "_"):
+            i = out.find("round(", i + 1)
+        if i < 0:
+            return out
+        j = i + len("round(")
+        depth, comma = 1, -1
+        k = j
+        while depth:
+            ch = out[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                comma = k
+            k += 1
+        inner = out[j : comma if comma >= 0 else k - 1].strip()
+        digits = int(out[comma + 1 : k - 1].strip()) if comma >= 0 else 0
+        repl = f"floor(({inner}) * 1e{digits} + 0.5) / 1e{digits}"
+        out = out[:i] + repl + out[k:]
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -141,7 +194,7 @@ def q_pagerank_step(spark, sf_dir):
         verts.join(contribs, "node", "left")
         .select(
             F.col("node").alias("node_name"),
-            F.round(F.lit(base) + F.lit(D) * F.coalesce("contrib", F.lit(0.0)), 8).alias(
+            _fs(F.lit(base) + F.lit(D) * F.coalesce("contrib", F.lit(0.0)), 8).alias(
                 "rank1"
             ),
         )
@@ -254,7 +307,7 @@ def q_pagerank(spark, sf_dir):
         .withColumn("node", F.xxhash64("node_name"))
     )
     return res.ranks.join(names, "node").select(
-        "node_name", F.round("rank", 8).alias("rank")
+        "node_name", _fs("rank", 8).alias("rank")
     )
 
 
@@ -302,7 +355,7 @@ def q_stream_rank(spark, sf_dir):
         out = (
             read_rank_table(spark, work)
             .join(names, "node")
-            .select("node_name", F.round("rank", 8).alias("rank"))
+            .select("node_name", _fs("rank", 8).alias("rank"))
         )
         out = out.localCheckpoint(eager=True)  # pin before the temp dir dies
     finally:
@@ -352,7 +405,7 @@ def q_stream_rank_delta(spark, sf_dir):
         out = (
             read_rank_table_delta(spark, work)
             .join(names, "node")
-            .select("node_name", F.round("rank", 8).alias("rank"))
+            .select("node_name", _fs("rank", 8).alias("rank"))
         )
         out = out.localCheckpoint(eager=True)  # pin before the temp dir dies
     finally:
@@ -393,7 +446,7 @@ def q_pagerank_k5(spark, sf_dir):
         check_convergence=False,
     )
     return res.ranks.select(
-        F.col("node").alias("node_name"), F.round("rank", 8).alias("rank5")
+        F.col("node").alias("node_name"), _fs("rank", 8).alias("rank5")
     )
 
 
@@ -415,7 +468,7 @@ def q_pagerank_w_k5(spark, sf_dir):
         edges, eps=0.0, max_iter=5, check_convergence=False, weight_col="weight"
     )
     return res.ranks.select(
-        F.col("node").alias("node_name"), F.round("rank", 8).alias("rank5")
+        F.col("node").alias("node_name"), _fs("rank", 8).alias("rank5")
     )
 
 
@@ -435,7 +488,7 @@ def q_pagerank_b_k5(spark, sf_dir):
         family="b",
     )
     return res.ranks.select(
-        F.col("node").alias("node_name"), F.round("rank", 8).alias("rank5")
+        F.col("node").alias("node_name"), _fs("rank", 8).alias("rank5")
     )
 
 
@@ -471,7 +524,7 @@ def q_pagerank_ws_k5(spark, sf_dir):
         .withColumn("node", F.xxhash64("node_name"))
     )
     return res.ranks.join(names, "node").select(
-        "node_name", F.round("rank", 8).alias("rank5")
+        "node_name", _fs("rank", 8).alias("rank5")
     )
 
 
@@ -498,7 +551,7 @@ def q_pagerank_bs_k5(spark, sf_dir):
         .withColumn("node", F.xxhash64("node_name"))
     )
     return res.ranks.join(names, "node").select(
-        "node_name", F.round("rank", 8).alias("rank5")
+        "node_name", _fs("rank", 8).alias("rank5")
     )
 
 
@@ -615,7 +668,7 @@ def q_corpus_filter(spark, sf_dir):
     # which plans as three scans)
     j = token_count(language_id(quality_score(_docs(spark, sf_dir)))).select(
         "doc_id",
-        F.round("quality", 8).alias("q8"),
+        _fs("quality", 8).alias("q8"),
         "lang_pred",
         "n_tokens",
     )
@@ -645,7 +698,7 @@ def q_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5)
     return cosine_topk(emb, q, k=5).select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine6"), "rank"
+        "query_id", "neighbor_id", _fs("cosine", 6).alias("cosine6"), "rank"
     )
 
 
@@ -755,7 +808,7 @@ def q_word_jaccard(spark, sf_dir):
         .filter(F.col("a") < F.col("b"))
     )
     return ngram_jaccard_pairs(d, cand, shingle_len=1).select(
-        "a", "b", F.round("jaccard", 8).alias("jac8")
+        "a", "b", _fs("jaccard", 8).alias("jac8")
     )
 
 
@@ -791,7 +844,7 @@ def q_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(emb, q, k=5, bits=6, tables=8).select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine6"), "rank"
+        "query_id", "neighbor_id", _fs("cosine", 6).alias("cosine6"), "rank"
     )
 
 
@@ -803,7 +856,7 @@ def q_ivf_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine6"), "rank"
+        "query_id", "neighbor_id", _fs("cosine", 6).alias("cosine6"), "rank"
     )
 
 
@@ -837,7 +890,7 @@ def q_decode_features(spark, sf_dir):
     from linkgraph.operators.multimodal import decode_and_featurize, media_from_documents
 
     return decode_and_featurize(media_from_documents(_docs(spark, sf_dir))).select(
-        "media_id", "kind", F.round("mean_px", 6).alias("mean_px6"), "n_bytes"
+        "media_id", "kind", _fs("mean_px", 6).alias("mean_px6"), "n_bytes"
     )
 
 
@@ -1086,7 +1139,7 @@ def q_ppr_step(spark, sf_dir):
         edges, sources, max_iter=2, check_convergence=False
     )
     return res.ranks.select(
-        F.col("node").alias("node_name"), F.round("rank", 8).alias("rank2")
+        F.col("node").alias("node_name"), _fs("rank", 8).alias("rank2")
     )
 
 
@@ -1098,8 +1151,8 @@ def q_hits_step(spark, sf_dir):
     res = hits(_transition_edges(spark, sf_dir), max_iter=1, check_convergence=False)
     return res.scores.select(
         F.col("node").alias("node_name"),
-        F.round("hub", 8).alias("hub8"),
-        F.round("authority", 8).alias("auth8"),
+        _fs("hub", 8).alias("hub8"),
+        _fs("authority", 8).alias("auth8"),
     )
 
 
@@ -1114,8 +1167,8 @@ def q_hits_k3(spark, sf_dir):
     res = hits(_bipartite_edges(spark, sf_dir), max_iter=3, check_convergence=False)
     return res.scores.select(
         F.col("node").alias("node_name"),
-        F.round("hub", 8).alias("hub8"),
-        F.round("authority", 8).alias("auth8"),
+        _fs("hub", 8).alias("hub8"),
+        _fs("authority", 8).alias("auth8"),
     )
 
 
@@ -1158,7 +1211,7 @@ def q_ppr_k5(spark, sf_dir):
     sources = edges.select(F.col("src").alias("node")).distinct()
     res = personalized_pagerank(edges, sources, max_iter=5, check_convergence=False)
     return res.ranks.select(
-        F.col("node").alias("node_name"), F.round("rank", 8).alias("rank5")
+        F.col("node").alias("node_name"), _fs("rank", 8).alias("rank5")
     )
 
 
@@ -1174,7 +1227,7 @@ def q_clustering(spark, sf_dir):
         F.col("node").alias("node_name"),
         "deg",
         "triangles",
-        F.round("lcc", 8).alias("lcc8"),
+        _fs("lcc", 8).alias("lcc8"),
     )
 
 
@@ -1188,7 +1241,7 @@ def q_adamic_adar(spark, sf_dir):
     return res.select(
         F.col("a").alias("node_a"),
         F.col("b").alias("node_b"),
-        F.round("aa", 8).alias("aa8"),
+        _fs("aa", 8).alias("aa8"),
     )
 
 
@@ -1204,9 +1257,9 @@ def q_link_scores(spark, sf_dir):
         F.col("a").alias("node_a"),
         F.col("b").alias("node_b"),
         "cn",
-        F.round("jaccard", 8).alias("jac8"),
-        F.round("aa", 8).alias("aa8"),
-        F.round("ra", 8).alias("ra8"),
+        _fs("jaccard", 8).alias("jac8"),
+        _fs("aa", 8).alias("aa8"),
+        _fs("ra", 8).alias("ra8"),
     )
 
 
@@ -1218,7 +1271,7 @@ def q_reciprocity(spark, sf_dir):
 
     res = reciprocity(_user_transition_edges(spark, sf_dir))
     return res.select(
-        "reciprocated", "total", F.round("reciprocity", 8).alias("recip8")
+        "reciprocated", "total", _fs("reciprocity", 8).alias("recip8")
     )
 
 
@@ -1231,7 +1284,7 @@ def q_assortativity(spark, sf_dir):
     from linkgraph.operators.structure import degree_assortativity
 
     res = degree_assortativity(_user_transition_edges(spark, sf_dir))
-    return res.select(F.round("assortativity", 6).alias("assort6"))
+    return res.select(_fs("assortativity", 6).alias("assort6"))
 
 
 def q_ktruss_r2(spark, sf_dir):
@@ -1263,7 +1316,7 @@ def q_harmonic_k4(spark, sf_dir):
     return res.select(
         F.col("node").alias("node_name"),
         "n_sources",
-        F.round("harmonic", 8).alias("harmonic8"),
+        _fs("harmonic", 8).alias("harmonic8"),
     )
 
 
@@ -1278,7 +1331,7 @@ def q_label_centroids(spark, sf_dir):
         "label",
         "n_vecs",
         F.posexplode(F.col("centroid")).alias("dim", "cval"),
-    ).select("label", "n_vecs", "dim", F.round("cval", 6).alias("cent6"))
+    ).select("label", "n_vecs", "dim", _fs("cval", 6).alias("cent6"))
 
 
 def q_centroid_cosine(spark, sf_dir):
@@ -1288,7 +1341,7 @@ def q_centroid_cosine(spark, sf_dir):
     from linkgraph.operators.similarity import centroid_cosines
 
     res = centroid_cosines(_emb(spark, sf_dir))
-    return res.select("vec_id", "label", F.round("cosine", 6).alias("cos6"))
+    return res.select("vec_id", "label", _fs("cosine", 6).alias("cos6"))
 
 
 def q_temporal_r3(spark, sf_dir):
@@ -1339,7 +1392,7 @@ def q_transitivity(spark, sf_dir):
 
     res = transitivity(_user_transition_edges(spark, sf_dir))
     return res.select(
-        "triangles", "wedges", F.round("transitivity", 8).alias("trans8")
+        "triangles", "wedges", _fs("transitivity", 8).alias("trans8")
     )
 
 
@@ -1349,7 +1402,7 @@ def q_powerlaw_alpha(spark, sf_dir):
     from linkgraph.operators.structure import powerlaw_alpha
 
     res = powerlaw_alpha(_user_transition_edges(spark, sf_dir), d_min=2)
-    return res.select("n_tail", F.round("alpha", 8).alias("alpha8"))
+    return res.select("n_tail", _fs("alpha", 8).alias("alpha8"))
 
 
 def q_rich_club(spark, sf_dir):
@@ -1360,7 +1413,7 @@ def q_rich_club(spark, sf_dir):
 
     res = rich_club(_user_transition_edges(spark, sf_dir))
     return res.select(
-        "k", "n_nodes", "n_edges", F.round("phi", 8).alias("phi8")
+        "k", "n_nodes", "n_edges", _fs("phi", 8).alias("phi8")
     )
 
 
@@ -1489,8 +1542,8 @@ def q_closeness_k4(spark, sf_dir):
     return res.select(
         F.col("source").alias("source_name"),
         "n_reached",
-        F.round("closeness", 8).alias("clo8"),
-        F.round("closeness_wf", 8).alias("clo_wf8"),
+        _fs("closeness", 8).alias("clo8"),
+        _fs("closeness_wf", 8).alias("clo_wf8"),
     )
 
 
@@ -1509,8 +1562,8 @@ def q_salsa_k3(spark, sf_dir):
     )
     return res.scores.select(
         F.col("node").alias("node_name"),
-        F.round("hub", 8).alias("hub8"),
-        F.round("authority", 8).alias("auth8"),
+        _fs("hub", 8).alias("hub8"),
+        _fs("authority", 8).alias("auth8"),
     )
 
 
@@ -1544,7 +1597,7 @@ def q_eigen_k4(spark, sf_dir):
         max_iter=4, check_convergence=False,
     )
     return res.scores.select(
-        F.col("node").alias("node_name"), F.round("score", 8).alias("eig8")
+        F.col("node").alias("node_name"), _fs("score", 8).alias("eig8")
     )
 
 
@@ -1554,7 +1607,14 @@ def q_modularity(spark, sf_dir):
     of the per-user transition graph — label joins + label-keyed
     aggregates only, no wedge join. Value-checked against a DuckDB twin
     computing the identical community-summed form; extremes +
-    networkx-parity pinned in tests."""
+    networkx-parity pinned in tests.
+
+    Contract columns are the INTEGER observables only (intra_edges,
+    deg_sum): together with the global edge count they determine the
+    float contrib exactly, and they are immune to the cross-engine
+    1-ulp round(x, 8) boundary skew that flipped the driver hash in
+    round 4 (Spark HALF_UP exact-decimal vs DuckDB float-scaled round).
+    The float contrib itself stays pinned in tests/test_structure.py."""
     from linkgraph.operators.degrees import vertices
     from linkgraph.operators.structure import modularity_by_label
 
@@ -1566,7 +1626,6 @@ def q_modularity(spark, sf_dir):
         "label",
         "intra_edges",
         "deg_sum",
-        F.round("contrib", 8).alias("contrib8"),
     )
 
 
@@ -1583,7 +1642,7 @@ def q_emb_cov(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_covariance(emb).select(
-        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov6")
+        "i", "j", (_fs("cov", 6) + F.lit(0.0)).alias("cov6")
     )
 
 
@@ -1601,7 +1660,7 @@ def q_kmeans_round(spark, sf_dir):
     init = emb.orderBy("vec_id").limit(8).collect()
     cents = [[float(x) for x in r["embedding"]] for r in init]
     return kmeans_assign(emb, cents).select(
-        "id", "cell", F.round("dist2", 6).alias("dist2_6")
+        "id", "cell", _fs("dist2", 6).alias("dist2_6")
     )
 
 
@@ -1632,7 +1691,7 @@ def q_tfidf_topk(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tfidf_top_terms(docs, k=3).select(
-        "id", "term", "rank", F.round("tfidf", 8).alias("tfidf8")
+        "id", "term", "rank", _fs("tfidf", 8).alias("tfidf8")
     )
 
 
@@ -1659,7 +1718,13 @@ def q_conductance(spark, sf_dir):
     same deterministic 16-way md5-prefix partition q_modularity uses —
     cut edges counted once via the directed copy leaving its community,
     label joins + label-keyed aggregates only. Value-checked against a
-    DuckDB twin; hand-computed extremes + networkx parity in tests."""
+    DuckDB twin; hand-computed extremes + networkx parity in tests.
+
+    Contract columns are the INTEGER observables only (cut_edges, vol):
+    with the global volume they determine φ = cut/min(vol, 2m−vol)
+    exactly, and they are immune to the cross-engine round(x, 8) 1-ulp
+    skew that flipped the driver hash in round 4. The float φ stays
+    pinned in tests/test_structure.py."""
     from linkgraph.operators.degrees import vertices
     from linkgraph.operators.structure import conductance_by_label
 
@@ -1671,7 +1736,6 @@ def q_conductance(spark, sf_dir):
         "label",
         "cut_edges",
         "vol",
-        F.round("conductance", 8).alias("conductance8"),
     )
 
 
@@ -1690,7 +1754,7 @@ def q_bm25(spark, sf_dir):
         "id",
         "dl",
         "n_matched",
-        F.round("bm25", 8).alias("bm25_8"),
+        _fs("bm25", 8).alias("bm25_8"),
     )
 
 
@@ -1808,7 +1872,7 @@ def q_louvain_round(spark, sf_dir):
     return out.select(
         F.col("node").alias("node_name"),
         F.col("community").alias("community_name"),
-        F.round("k", 6).alias("k6"),
+        _fs("k", 6).alias("k6"),
     )
 
 
@@ -1826,7 +1890,7 @@ def q_katz_k4(spark, sf_dir):
         alpha=0.05, max_iter=4, check_convergence=False,
     )
     return res.scores.select(
-        F.col("node").alias("node_name"), F.round("katz", 8).alias("katz8")
+        F.col("node").alias("node_name"), _fs("katz", 8).alias("katz8")
     )
 
 
@@ -1843,7 +1907,7 @@ def q_anf_curve(spark, sf_dir):
 
     return neighborhood_function(
         _user_transition_edges(spark, sf_dir), max_t=3
-    ).select("t", F.round("nf_est", 4).alias("nf_est4"))
+    ).select("t", _fs("nf_est", 4).alias("nf_est4"))
 
 
 def q_anf_round(spark, sf_dir):
@@ -1879,7 +1943,7 @@ def q_sssp_r4(spark, sf_dir):
         max_iter=4, check_convergence=False,
     )
     return res.distances.select(
-        F.col("node").alias("node_name"), F.round("cost", 8).alias("cost8")
+        F.col("node").alias("node_name"), _fs("cost", 8).alias("cost8")
     )
 
 
@@ -1901,7 +1965,7 @@ def q_betweenness_k4(spark, sf_dir):
     )
     res = betweenness_sample(edges, srcs, directed=False)
     return res.select(
-        F.col("node").alias("node_name"), F.round("bc", 6).alias("bc6")
+        F.col("node").alias("node_name"), _fs("bc", 6).alias("bc6")
     )
 
 
@@ -1925,7 +1989,7 @@ def q_unigram_xent(spark, sf_dir):
 
     res = unigram_xent(_docs(spark, sf_dir))
     return res.select(
-        F.col("id").alias("doc_id"), "n_tokens", F.round("xent", 6).alias("xent6")
+        F.col("id").alias("doc_id"), "n_tokens", _fs("xent", 6).alias("xent6")
     )
 
 
@@ -1939,9 +2003,9 @@ def q_len_percentiles(spark, sf_dir):
     return res.select(
         "lang",
         "n",
-        F.round("p50", 6).alias("p50"),
-        F.round("p90", 6).alias("p90"),
-        F.round("p99", 6).alias("p99"),
+        _fs("p50", 6).alias("p50"),
+        _fs("p90", 6).alias("p90"),
+        _fs("p99", 6).alias("p99"),
     )
 
 
@@ -1952,7 +2016,7 @@ def q_knn_curve(spark, sf_dir):
     from linkgraph.operators.structure import knn_curve
 
     res = knn_curve(_user_transition_edges(spark, sf_dir))
-    return res.select("deg", "n_nodes", F.round("knn", 8).alias("knn8"))
+    return res.select("deg", "n_nodes", _fs("knn", 8).alias("knn8"))
 
 
 def q_top_bigrams(spark, sf_dir):
@@ -2161,8 +2225,8 @@ def q_asof_join(spark, sf_dir):
     return joined.select(
         "event_id",
         "user_id",
-        F.round("purchase_value", 6).alias("purchase_value6"),
-        F.round("click_value", 6).alias("click_value6"),
+        _fs("purchase_value", 6).alias("purchase_value6"),
+        _fs("click_value", 6).alias("click_value6"),
     )
 
 
@@ -2314,7 +2378,7 @@ def q_emb_near_pairs(spark, sf_dir):
     from linkgraph.operators.similarity import cosine_pairs_exact
 
     return cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.35).select(
-        "a", "b", F.round("cosine", 6).alias("cosine6")
+        "a", "b", _fs("cosine", 6).alias("cosine6")
     )
 
 
@@ -2328,7 +2392,7 @@ def q_event_windows(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _fs(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
@@ -2351,7 +2415,7 @@ def q_simrank_r2(spark, sf_dir):
     from linkgraph.operators.simrank import simrank
 
     return simrank(_user_transition_edges(spark, sf_dir), c=0.8, rounds=2).select(
-        "a", "b", F.round("sim", 8).alias("sim8")
+        "a", "b", _fs("sim", 8).alias("sim8")
     )
 
 
@@ -2379,11 +2443,11 @@ def q_ppr_sweep(spark, sf_dir):
     return ppr_sweep(e, seeds, k=4, top=64).select(
         F.col("pos").cast("long").alias("pos"),
         F.col("node").alias("node_name"),
-        F.round("score", 10).alias("score10"),
+        _fs("score", 10).alias("score10"),
         "deg",
         "vol",
         "cut",
-        F.round("phi", 8).alias("phi8"),
+        _fs("phi", 8).alias("phi8"),
     )
 
 
@@ -2407,8 +2471,8 @@ def q_ppr_push(spark, sf_dir):
     res = ppr_push(e, source=seed, alpha=0.15, eps=1e-5, fixed_rounds=3)
     return res.scores.filter((F.col("p") > 0) | (F.col("r") > 0)).select(
         F.col("node").alias("node_name"),
-        F.round("p", 10).alias("p10"),
-        F.round("r", 10).alias("r10"),
+        _fs("p", 10).alias("p10"),
+        _fs("r", 10).alias("r10"),
     )
 
 
@@ -2822,7 +2886,8 @@ def _ppr_sweep_sql(k: int, top: int, d: float = D) -> str:
         ranked AS (
           SELECT p.node, degu.deg, p.r / degu.deg AS score,
                  CAST(row_number() OVER (
-                   ORDER BY p.r / degu.deg DESC, p.node
+                   ORDER BY floor((p.r / degu.deg) * 1e10 + 0.5) DESC,
+                            p.node
                  ) AS BIGINT) AS pos
           FROM p JOIN degu ON p.node = degu.node
         ),
@@ -3877,13 +3942,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT degc.label,
                    coalesce(intra.intra_edges, 0) AS intra_edges,
-                   degc.deg_sum,
-                   round(
-                     coalesce(intra.intra_edges, 0) / mm.m
-                     - pow(degc.deg_sum / (2.0 * mm.m), 2), 8
-                   ) AS contrib8
+                   degc.deg_sum
             FROM degc LEFT JOIN intra ON intra.label = degc.label
-            CROSS JOIN mm
         """,
         "kmeans_round": """
             WITH cents AS (
@@ -4127,13 +4187,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT volc.label,
                    coalesce(cut.cut_edges, 0) AS cut_edges,
-                   volc.vol,
-                   round(CASE WHEN least(volc.vol, m2.m2 - volc.vol) > 0
-                         THEN CAST(coalesce(cut.cut_edges, 0) AS DOUBLE)
-                              / least(volc.vol, m2.m2 - volc.vol)
-                         END, 8) AS conductance8
+                   volc.vol
             FROM volc LEFT JOIN cut ON cut.label = volc.label
-            CROSS JOIN m2
         """,
         "bm25": f"""
             WITH base AS (
@@ -5270,4 +5325,12 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, reason = 'ok' AS keep, reason FROM r
     """
-    return out
+    # Rewrite every round(expr, d) to the IEEE floor-scale twin of _fs()
+    # (see _floorscale_sql). The TPC-H family is exempt: its rounds run in
+    # EXACT DECIMAL arithmetic on both engines (tie-free by construction,
+    # _dec docstring), which is already version-proof and must not be
+    # demoted to double math.
+    return {
+        k: (v if k.startswith("tpch_") else _floorscale_sql(v))
+        for k, v in out.items()
+    }

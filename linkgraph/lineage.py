@@ -44,19 +44,28 @@ state embeds the previous cut through a union need cut().
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+_WARNED_FALLBACK = False
 
 
 def cut(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Eager lineage + metadata cut for loop-carried state: use instead
     of bare ``localCheckpoint(eager=True)`` in filter-union /
     settled-set-accumulator loops. Repartitions to ``num_partitions``
-    (default: session shuffle partitions) so the per-round +1 partition
-    creep of union states stays bounded, materializes once, then
-    re-wraps the materialized RDD in a fresh Dataset."""
-    n = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    (default: session shuffle partitions, falling back to the frame's
+    current partition count when that conf is non-numeric, e.g. AQE
+    'auto' on some platforms), materializes once, then re-wraps the
+    materialized RDD in a fresh Dataset."""
+    global _WARNED_FALLBACK
+    n = num_partitions
+    if n is None:
+        try:
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # non-numeric (AQE 'auto') or unset conf
+            n = df.rdd.getNumPartitions() or 1
     ck = df.repartition(n).localCheckpoint(eager=True)
     try:
         spark = df.sparkSession
@@ -66,4 +75,18 @@ def cut(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
         )
         return DataFrame(new_jdf, spark)
     except Exception:  # pragma: no cover — internal API moved/renamed
+        # e.g. Spark Connect (no _jdf): the bare checkpoint is correct
+        # but re-exposed to the exponential-planning pathology — say so
+        # once instead of silently degrading
+        if not _WARNED_FALLBACK:
+            _WARNED_FALLBACK = True
+            warnings.warn(
+                "linkgraph.lineage.cut: internalCreateDataFrame "
+                "unavailable (Spark Connect or internal API change) — "
+                "falling back to bare localCheckpoint; long union-state "
+                "loops may re-hit the exponential Catalyst planning "
+                "pathology documented in linkgraph/lineage.py",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck

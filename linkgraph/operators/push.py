@@ -70,6 +70,8 @@ def ppr_push(
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     if eps <= 0.0:
         raise ValueError(f"eps must be > 0, got {eps}")
+    if fixed_rounds is not None and fixed_rounds < 1:
+        raise ValueError(f"fixed_rounds must be >= 1, got {fixed_rounds}")
 
     e = edges.select("src", "dst").persist()
     od = out_degrees(e)
@@ -134,6 +136,7 @@ def ppr_push(
     else:
         if fixed_rounds is None:
             e.unpersist()
+            state.unpersist()
             raise RuntimeError(
                 f"ppr_push did not drain the frontier within max_rounds="
                 f"{max_rounds}; raise max_rounds or eps"

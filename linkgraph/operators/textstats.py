@@ -9,6 +9,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _fs8(col):
+    """Boundary-safe 8-dp rounding: floor(x*1e8 + 0.5)/1e8 in plain IEEE
+    ops — bit-deterministic across engines, unlike round() whose HALF_UP
+    (Spark BigDecimal) vs float-scaled (DuckDB) implementations can
+    disagree by one step when an exact integer-ratio value (punct/len,
+    distinct/total, …) lands on a representable .5 boundary. Matches the
+    floor-scale rewrite the driver-contract oracles apply
+    (__spark_entry__._floorscale_sql)."""
+    s = F.lit(1e8)
+    return F.floor(col * s + F.lit(0.5)) / s
+
+
 # tiny deterministic stopword lists for the n-gram language heuristic
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
@@ -71,10 +83,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.2 * F.least(F.lit(1.0), 5.0 * stop_ratio)
     )
     return (
-        docs.withColumn("len_score", F.round(len_score, 8))
-        .withColumn("punct_ratio", F.round(punct_ratio, 8))
-        .withColumn("stopword_ratio", F.round(stop_ratio, 8))
-        .withColumn("quality", F.round(score, 8))
+        docs.withColumn("len_score", _fs8(len_score))
+        .withColumn("punct_ratio", _fs8(punct_ratio))
+        .withColumn("stopword_ratio", _fs8(stop_ratio))
+        .withColumn("quality", _fs8(score))
     )
 
 
@@ -137,8 +149,8 @@ def repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     dup_t = F.when(n < 3, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(tri)).cast("double") / (n - 2)
     )
-    return docs.withColumn("dup_word_frac", F.round(dup_w, 8)).withColumn(
-        "dup_trigram_frac", F.round(dup_t, 8)
+    return docs.withColumn("dup_word_frac", _fs8(dup_w)).withColumn(
+        "dup_trigram_frac", _fs8(dup_t)
     )
 
 
