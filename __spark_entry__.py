@@ -414,6 +414,73 @@ def q_stream_rank_delta(spark, sf_dir):
     return out
 
 
+def q_stream_delta_r3(spark, sf_dir):
+    """Deterministic fixed-depth drive of the delta-push streaming rank
+    maintenance (streaming/rank.py stream_pagerank_delta,
+    fixed_rounds=3 — round-4 VERDICT #7): batch 1 = the ~97% md5-coin
+    complement of the contract edge multiset, solved with exactly 3
+    Jacobi rounds of the teleport-1 system; batch 2 = the ~3% coin split,
+    applied via the residual delta push with exactly 3 hops and pruning
+    disabled (θ=0) — the published normalized y/Σy table after batch 2 is
+    pure fixed-depth linear algebra over the two edge multisets, so the
+    whole streaming path (epoch layout, residual construction on affected
+    out-neighborhoods, push series, normalization) gets a value-hash
+    oracle against an unrolled-CTE DuckDB twin. churn_threshold is pinned
+    high so the delta branch is the one under test at every SF; the
+    converged production drive stays `stream_rank_delta` (rows-only)."""
+    import shutil
+    import tempfile
+
+    from linkgraph.streaming.rank import read_rank_table_delta, stream_pagerank_delta
+
+    edges_s = _bipartite_edges(spark, sf_dir).unionByName(
+        _transition_edges(spark, sf_dir)
+    )
+    # SQL-reproducible 1/32 edge coin on the STRING pair (all copies of a
+    # multi-edge land in the same chunk, same as the DuckDB twin)
+    is_delta = (
+        F.substring(
+            F.md5(F.concat(F.col("src"), F.lit("|"), F.col("dst"), F.lit("|delta"))),
+            1,
+            8,
+        )
+        < "08000000"
+    )
+    ids = edges_s.select(
+        F.xxhash64("src").alias("src"),
+        F.xxhash64("dst").alias("dst"),
+        is_delta.alias("isd"),
+    ).persist()
+    root = tempfile.mkdtemp(prefix="lg_stream_deltar_")
+    try:
+        src_dir, work, ckpt = (f"{root}/src", f"{root}/work", f"{root}/ckpt")
+        for chunk in (0, 1):
+            part = ids.filter(F.col("isd") == (chunk == 1)).select("src", "dst")
+            part.write.mode("append").parquet(src_dir)
+            stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
+            q = stream_pagerank_delta(
+                stream, work, ckpt, available_now=True,
+                fixed_rounds=3, churn_threshold=100.0,
+            )
+            q.awaitTermination(300)
+        names = (
+            edges_s.select(F.col("src").alias("node_name"))
+            .union(edges_s.select("dst"))
+            .distinct()
+            .withColumn("node", F.xxhash64("node_name"))
+        )
+        out = (
+            read_rank_table_delta(spark, work)
+            .join(names, "node")
+            .select("node_name", _fs("rank", 8).alias("rank3"))
+        )
+        out = out.localCheckpoint(eager=True)  # pin before the temp dir dies
+    finally:
+        ids.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_lpa_k3(spark, sf_dir):
     """Three fixed synchronous LPA rounds through the real label_propagation
     loop, on STRING node ids so the smaller-label tie-break is byte-order —
@@ -2476,6 +2543,40 @@ def q_ppr_push(spark, sf_dir):
     )
 
 
+def q_ppr_nibble(spark, sf_dir):
+    """PageRank-Nibble (operators/sweep.py ppr_nibble — round-4 VERDICT
+    #6): 3 fixed ACL push rounds from the lexicographically-first node of
+    the symmetrized bipartite graph, then the exact sweep-cut curve over
+    the eps-pruned push support — the composition whose every stage is
+    bounded by the support, the designed 100-TB local-clustering path
+    (support O(1/(α·eps)) by the push invariant; sweep windows over
+    ≤ 8·top rows by the pre-ranking truncation, which is exact for the
+    returned prefixes). Whole pipeline — push recurrence, p/deg order on
+    the floor-scaled key, integer cut/vol, φ — value-hash-checked against
+    the unrolled-CTE DuckDB twin."""
+    from linkgraph.operators.sweep import ppr_nibble
+
+    bip = _bipartite_edges(spark, sf_dir)
+    e = (
+        bip.select("src", "dst")
+        .unionByName(bip.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    seed = e.agg(F.min("src")).first()[0]
+    curve = ppr_nibble(
+        e, seed, alpha=0.15, eps=1e-5, fixed_rounds=3, top=48
+    )
+    return curve.select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("node").alias("node_name"),
+        _fs("score", 10).alias("score10"),
+        "deg",
+        "vol",
+        "cut",
+        _fs("phi", 8).alias("phi8"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank over the event-derived graph at sf0.001,
     top-20 actors by rank."""
@@ -2487,57 +2588,87 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate evaluates exactly
-    # the FIRST 50 entries. Slots 1-48 are value-hash oracles that had no
-    # driver CORRECTNESS row through round 3 (the round-3 operator wave
-    # plus this round's anf_round / squares_p / coeng_capped); slots
-    # 49-50 are previously-proven anchors kept as regression canaries
-    # (edge_derivation, pagerank_k5). Everything past 50 stays covered by
-    # tests/test_entry_contract.py (all oracles, every round) — rows-only
-    # entries are deliberately last so no window slot is spent on a
-    # weaker check.
-    #
-    # ROUND-5 ROTATION (do this FIRST next round, before any other work):
-    # once CORRECTNESS_r04 lands for the current window, rotate the
-    # remaining never-driver-checked value-hash oracles into slots 1-N:
-    # densest_r2, pii_scan, stream_sessions, tpch_ship_priority,
-    # tpch_returned_rev, tpch_part_supplier_counts, powerlaw_alpha,
-    # rich_club, unigram_xent, len_percentiles, top_bigrams,
-    # stratified_sample, repetition, decontaminate, simrank_r2, ppr_sweep,
-    # ppr_push — then backfill with hash-proven anchors; keep rows-only
-    # last.
+    # the FIRST 50 entries. Round-5 window (per the round-4 VERDICT):
+    # slots 1-17 are the value-hash oracles that had no driver row through
+    # round 4; 18-19 re-enter conductance/modularity, the round-4 hash
+    # failures, hardened to integer-only observables; 20-21 are this
+    # round's new oracles (ppr_nibble, the fixed-depth stream_delta_r3);
+    # 22-50 re-certify previously-green queries whose contract VALUES
+    # changed under the round-5 floor-scale rounding hardening (one
+    # representative per family; the full set stays covered by the local
+    # mirror gate scripts/check_oracle.py and
+    # tests/test_entry_contract.py every round). Rows-only entries are
+    # deliberately last so no window slot is spent on a weaker check.
     return {
         # -- driver window: never-driver-checked value-hash oracles --
-        "louvain_round": q_louvain_round,
-        "msf_round": q_msf_round,
-        "katz_k4": q_katz_k4,
-        "eigen_k4": q_eigen_k4,
-        "betweenness_k4": q_betweenness_k4,
-        "trussness_r2": q_trussness_r2,
-        "coreness_r2": q_coreness_r2,
-        "harmonic_k4": q_harmonic_k4,
-        "salsa_k3": q_salsa_k3,
-        "sssp_r4": q_sssp_r4,
-        "closeness_k4": q_closeness_k4,
-        "anf_round": q_anf_round,
-        "bowtie": q_bowtie,
+        "ppr_push": q_ppr_push,
+        "ppr_sweep": q_ppr_sweep,
+        "simrank_r2": q_simrank_r2,
+        "densest_r2": q_densest_r2,
+        "stream_sessions": q_stream_sessions,
+        "pii_scan": q_pii_scan,
+        "tpch_ship_priority": q_tpch_ship_priority,
+        "tpch_returned_rev": q_tpch_returned_rev,
+        "tpch_part_supplier_counts": q_tpch_part_supplier_counts,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "repetition": q_repetition,
+        "top_bigrams": q_top_bigrams,
+        "unigram_xent": q_unigram_xent,
+        "len_percentiles": q_len_percentiles,
+        "powerlaw_alpha": q_powerlaw_alpha,
+        "rich_club": q_rich_club,
+        # -- driver window: round-4 hash-FAILs, hardened (integer observables) --
         "conductance": q_conductance,
         "modularity": q_modularity,
+        # -- driver window: round-5 additions --
+        "ppr_nibble": q_ppr_nibble,
+        "stream_delta_r3": q_stream_delta_r3,
+        # -- driver window: floor-scale re-certification anchors --
+        "pagerank_k5": q_pagerank_k5,
+        "pagerank_w_k5": q_pagerank_w_k5,
+        "pagerank_b_k5": q_pagerank_b_k5,
+        "pagerank_ws_k5": q_pagerank_ws_k5,
+        "pagerank_bs_k5": q_pagerank_bs_k5,
+        "ppr_k5": q_ppr_k5,
+        "hits_k3": q_hits_k3,
+        "katz_k4": q_katz_k4,
+        "eigen_k4": q_eigen_k4,
+        "salsa_k3": q_salsa_k3,
+        "harmonic_k4": q_harmonic_k4,
+        "closeness_k4": q_closeness_k4,
+        "sssp_r4": q_sssp_r4,
+        "betweenness_k4": q_betweenness_k4,
+        "clustering": q_clustering,
+        "adamic_adar": q_adamic_adar,
+        "link_scores": q_link_scores,
+        "word_jaccard": q_word_jaccard,
+        "neardup_clusters": q_neardup_clusters,
+        "transitivity": q_transitivity,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "knn_curve": q_knn_curve,
+        "quality": q_quality,
+        "corpus_filter": q_corpus_filter,
+        "tfidf_topk": q_tfidf_topk,
+        "bm25": q_bm25,
+        "anf_round": q_anf_round,
+        "louvain_round": q_louvain_round,
+        # ---- end of the driver's 50-entry window ----
+        # -- value-hash oracles re-certified by the local mirror gate --
+        "bowtie": q_bowtie,
         "ktruss_r2": q_ktruss_r2,
+        "trussness_r2": q_trussness_r2,
+        "coreness_r2": q_coreness_r2,
         "mis_r2": q_mis_r2,
         "matching_r2": q_matching_r2,
         "coloring_r2": q_coloring_r2,
         "ball2": q_ball2,
         "eff_diameter": q_eff_diameter,
-        "knn_curve": q_knn_curve,
-        "transitivity": q_transitivity,
         "squares": q_squares,
         "squares_p": q_squares_p,
         "coengagement": q_coengagement,
         "coeng_capped": q_coeng_capped,
-        "adamic_adar": q_adamic_adar,
-        "link_scores": q_link_scores,
-        "reciprocity": q_reciprocity,
-        "assortativity": q_assortativity,
         "randwalk_k3": q_randwalk_k3,
         "wrandwalk_k3": q_wrandwalk_k3,
         "node2vec_k3": q_node2vec_k3,
@@ -2550,50 +2681,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "centroid_cosine": q_centroid_cosine,
         "emb_near_pairs": q_emb_near_pairs,
-        "bm25": q_bm25,
-        "tfidf_topk": q_tfidf_topk,
         "funnel3": q_funnel3,
         "temporal_r3": q_temporal_r3,
-        # -- driver window: round-4 sharded-engine fast-path proofs --
-        "pagerank_ws_k5": q_pagerank_ws_k5,
-        "pagerank_bs_k5": q_pagerank_bs_k5,
-        # -- driver window: proven anchor as regression canary --
         "edge_derivation": q_edge_derivation,
-        # ---- end of the driver's 50-entry window ----
-        # -- round-4 additions (rotate into the window next round) --
-        "densest_r2": q_densest_r2,
-        "pii_scan": q_pii_scan,
-        "stream_sessions": q_stream_sessions,
-        "tpch_ship_priority": q_tpch_ship_priority,
-        "tpch_returned_rev": q_tpch_returned_rev,
-        "tpch_part_supplier_counts": q_tpch_part_supplier_counts,
-        "pagerank_k5": q_pagerank_k5,
-        "powerlaw_alpha": q_powerlaw_alpha,
+        "msf_round": q_msf_round,
+        "pagerank_step": q_pagerank_step,
+        "ppr_step": q_ppr_step,
+        "hits_step": q_hits_step,
         "out_degrees": q_out_degrees,
         "in_degrees": q_in_degrees,
         "dangling": q_dangling,
-        "pagerank_step": q_pagerank_step,
         "top_hubs": q_top_hubs,
         "components": q_components,
         "components_twophase": q_components_twophase,
         "scc": q_scc,
         "bfs_hops": q_bfs_hops,
-        "pagerank_b_k5": q_pagerank_b_k5,
-        "pagerank_w_k5": q_pagerank_w_k5,
         "lpa_k3": q_lpa_k3,
         "lpa_round": q_lpa_round,
         "triangles": q_triangles,
         "exact_dedup": q_exact_dedup,
         "chunk_dedup": q_chunk_dedup,
         "token_count": q_token_count,
-        "quality": q_quality,
         "language_id": q_language_id,
-        "corpus_filter": q_corpus_filter,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "sessionize": q_sessionize,
-        "word_jaccard": q_word_jaccard,
-        "neardup_clusters": q_neardup_clusters,
         "resize_plan": q_resize_plan,
         "frame_sample": q_frame_sample,
         "tpch_pricing": q_tpch_pricing,
@@ -2601,29 +2713,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_nation_window": q_tpch_nation_window,
         "tpch_regional_volume": q_tpch_regional_volume,
         "tpch_brand_top_suppliers": q_tpch_brand_top_suppliers,
-        "ppr_step": q_ppr_step,
-        "hits_step": q_hits_step,
-        "hits_k3": q_hits_k3,
         "kcore_round": q_kcore_round,
         "kcore_r3": q_kcore_r3,
-        "ppr_k5": q_ppr_k5,
-        "clustering": q_clustering,
-        "rich_club": q_rich_club,
-        "unigram_xent": q_unigram_xent,
-        "len_percentiles": q_len_percentiles,
-        "top_bigrams": q_top_bigrams,
         "asof_join": q_asof_join,
         "tpch_rollup": q_tpch_rollup,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "dataset_split": q_dataset_split,
-        "stratified_sample": q_stratified_sample,
-        "repetition": q_repetition,
-        "decontaminate": q_decontaminate,
         "customers_few_orders": q_customers_few_orders,
         "event_windows": q_event_windows,
-        "simrank_r2": q_simrank_r2,
-        "ppr_sweep": q_ppr_sweep,
-        "ppr_push": q_ppr_push,
         # -- rows-only entries (no ANSI-SQL twin; see docstrings) --
         "pagerank": q_pagerank,
         "stream_rank": q_stream_rank,
@@ -2639,7 +2736,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": q_msf,
         "anf_curve": q_anf_curve,
     }
-
 
 # ---------------- DuckDB oracles ----------------
 
@@ -2969,6 +3065,212 @@ def _ppr_push_sql(k: int, alpha: float = 0.15, eps: float = 1e-5) -> str:
         {",".join(steps)}
         SELECT node AS node_name, round(p, 10) AS p10, round(r, 10) AS r10
         FROM s{k} WHERE p > 0 OR r > 0
+    """
+
+
+def _ppr_nibble_sql(
+    k: int, top: int, alpha: float = 0.15, eps: float = 1e-5
+) -> str:
+    """Twin of q_ppr_nibble: the _ppr_push_sql chain (k synchronous
+    threshold-push rounds, seed = min node, symmetrized simple bipartite
+    graph) feeding the _ppr_sweep_sql tail — support = push estimates
+    p > 0, ordered by the floor-scaled p/deg key. The Spark side's
+    pre-ranking cap (8·top) needs no SQL replication: for any prefix
+    t ≤ top, an endpoint ranking beyond the cap contributes the same
+    never-uncut delta as an unranked one, so the returned curves agree
+    exactly (the capped==uncapped pin lives in tests/test_sweep.py)."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+            sp{i} AS (
+              SELECT e.dst AS node,
+                     sum({1.0 - alpha} * s.r / s.od) AS inc
+              FROM s{i} s JOIN edges e ON s.node = e.src
+              WHERE s.r > {eps} AND s.od > 0
+              GROUP BY e.dst
+            ),
+            s{i + 1} AS (
+              SELECT s.node, s.od,
+                     s.p + CASE WHEN s.r > {eps} AND s.od > 0
+                                THEN {alpha} * s.r ELSE 0.0 END AS p,
+                     CASE WHEN s.r > {eps} AND s.od > 0
+                          THEN 0.0 ELSE s.r END
+                       + coalesce(sp{i}.inc, 0.0) AS r
+              FROM s{i} s LEFT JOIN sp{i} ON s.node = sp{i}.node
+            )""")
+    sym_bip = (
+        f"SELECT DISTINCT src, dst FROM (SELECT src, dst FROM ({_BIP}) "
+        f"UNION ALL SELECT dst, src FROM ({_BIP}))"
+    )
+    return f"""
+        WITH edges AS ({sym_bip}),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        od AS (SELECT src AS node, count(*) AS od FROM edges GROUP BY src),
+        seed AS (SELECT min(src) AS node FROM edges),
+        s0 AS (
+          SELECT n.node, coalesce(od.od, 0) AS od, 0.0 AS p,
+                 CASE WHEN n.node = seed.node THEN 1.0 ELSE 0.0 END AS r
+          FROM nodes n CROSS JOIN seed LEFT JOIN od ON n.node = od.node
+        ),
+        {",".join(steps)},
+        p AS (SELECT node, p AS r FROM s{k} WHERE p > 0),
+        sym AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+        und AS (SELECT src, dst FROM sym UNION SELECT dst, src FROM sym),
+        degu AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+        ranked AS (
+          SELECT p.node, degu.deg, p.r / degu.deg AS score,
+                 CAST(row_number() OVER (
+                   ORDER BY floor((p.r / degu.deg) * 1e10 + 0.5) DESC,
+                            p.node
+                 ) AS BIGINT) AS pos
+          FROM p JOIN degu ON p.node = degu.node
+        ),
+        pairs AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+        epos AS (
+          SELECT CASE WHEN ra.pos IS NULL THEN rb.pos
+                      WHEN rb.pos IS NULL THEN ra.pos
+                      ELSE least(ra.pos, rb.pos) END AS minp,
+                 CASE WHEN ra.pos IS NOT NULL AND rb.pos IS NOT NULL
+                      THEN greatest(ra.pos, rb.pos) END AS maxp
+          FROM pairs
+          LEFT JOIN ranked ra ON pairs.a = ra.node
+          LEFT JOIN ranked rb ON pairs.b = rb.node
+          WHERE ra.pos IS NOT NULL OR rb.pos IS NOT NULL
+        ),
+        deltas AS (
+          SELECT pos, CAST(sum(dd) AS BIGINT) AS delta FROM (
+            SELECT minp AS pos, count(*) AS dd FROM epos GROUP BY minp
+            UNION ALL
+            SELECT maxp AS pos, -count(*) AS dd FROM epos
+            WHERE maxp IS NOT NULL GROUP BY maxp
+          ) GROUP BY pos
+        ),
+        m2 AS (SELECT CAST(sum(deg) AS BIGINT) AS vol_all FROM degu),
+        curve AS (
+          SELECT r.pos, r.node, r.score, r.deg,
+                 CAST(sum(r.deg) OVER (ORDER BY r.pos) AS BIGINT) AS vol,
+                 CAST(sum(coalesce(d.delta, 0)) OVER (ORDER BY r.pos)
+                      AS BIGINT) AS cut
+          FROM ranked r LEFT JOIN deltas d ON r.pos = d.pos
+        )
+        SELECT pos, node AS node_name, round(score, 10) AS score10, deg,
+               vol, cut,
+               round(CAST(cut AS DOUBLE) / least(vol, vol_all - vol), 8)
+                 AS phi8
+        FROM curve CROSS JOIN m2
+        WHERE least(vol, vol_all - vol) > 0 AND pos <= {top}
+    """
+
+
+def _stream_delta_sql(k: int = 3, d: float = D) -> str:
+    """Twin of q_stream_delta_r3: chunk 0 (md5 coin >= '08000000') solved
+    with k Jacobi rounds of y = 1 + d·Aᵀy (multiplicity-weighted,
+    dangling columns leak); chunk 1 applied as the residual delta push —
+    rho = d·(A_newᵀ − A_oldᵀ)·y0 restricted to the affected srcs' out-
+    neighborhoods (an out-degree change rescales that src's old rows too),
+    then k unpruned push hops over the FULL edge multiset, y = y0 + Σ,
+    published as y/Σy. Mirrors streaming/rank.py line-for-line in its
+    fixed_rounds shape."""
+    jsteps = []
+    for i in range(k):
+        jsteps.append(f"""
+            c0_{i} AS (
+              SELECT w0.dst AS node, sum(y.y * w0.w) AS s
+              FROM w0 JOIN y0_{i} y ON w0.src = y.node GROUP BY w0.dst
+            ),
+            y0_{i + 1} AS (
+              SELECT v.node, 1.0 + {d} * coalesce(c.s, 0.0) AS y
+              FROM v0 v LEFT JOIN c0_{i} c ON v.node = c.node
+            )""")
+    hsteps = []
+    prev = "rho"
+    for i in range(1, k + 1):
+        hsteps.append(f"""
+            h{i} AS (
+              SELECT wf.dst AS node, {d} * sum(p.dv * wf.w) AS dv
+              FROM wf JOIN {prev} p ON wf.src = p.node
+              GROUP BY wf.dst
+              HAVING abs({d} * sum(p.dv * wf.w)) > 0
+            )""")
+        prev = f"h{i}"
+    hop_union = " UNION ALL ".join(
+        [f"SELECT node, dv FROM h{i}" for i in range(1, k + 1)]
+    )
+    return f"""
+        WITH bip AS ({_BIP}),
+        tr AS ({_TRANS}),
+        e AS (SELECT src, dst FROM bip UNION ALL SELECT src, dst FROM tr),
+        flag AS (
+          SELECT src, dst,
+                 substr(md5(src || '|' || dst || '|delta'), 1, 8)
+                   < '08000000' AS isd
+          FROM e
+        ),
+        e0 AS (SELECT src, dst FROM flag WHERE NOT isd),
+        eb AS (SELECT src, dst FROM flag WHERE isd),
+        p0 AS (SELECT src, dst, count(*) AS c FROM e0 GROUP BY src, dst),
+        od0 AS (SELECT src, sum(c) AS od FROM p0 GROUP BY src),
+        w0 AS (
+          SELECT p0.src, p0.dst, p0.c * 1.0 / od0.od AS w
+          FROM p0 JOIN od0 ON p0.src = od0.src
+        ),
+        v0 AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+        y0_0 AS (SELECT node, 1.0 AS y FROM v0),
+        {",".join(jsteps)},
+        yb AS (SELECT node, y FROM y0_{k}),
+        bp AS (SELECT src, dst, count(*) AS cb FROM eb GROUP BY src, dst),
+        aff AS (SELECT DISTINCT src FROM bp),
+        oap AS (
+          SELECT e0.src, e0.dst, count(*) AS co
+          FROM e0 JOIN aff USING (src) GROUP BY e0.src, e0.dst
+        ),
+        nap AS (
+          SELECT coalesce(oap.src, bp.src) AS src,
+                 coalesce(oap.dst, bp.dst) AS dst,
+                 coalesce(oap.co, 0) + coalesce(bp.cb, 0) AS cn
+          FROM oap FULL OUTER JOIN bp
+            ON oap.src = bp.src AND oap.dst = bp.dst
+        ),
+        odo AS (SELECT src, sum(co) AS odo FROM oap GROUP BY src),
+        odn AS (SELECT src, sum(cn) AS odn FROM nap GROUP BY src),
+        nt AS (
+          SELECT nap.dst, coalesce(y.y, 1.0) * nap.cn / odn.odn AS t
+          FROM nap JOIN odn ON nap.src = odn.src
+          LEFT JOIN yb y ON nap.src = y.node
+        ),
+        ot AS (
+          SELECT oap.dst, -coalesce(y.y, 1.0) * oap.co / odo.odo AS t
+          FROM oap JOIN odo ON oap.src = odo.src
+          LEFT JOIN yb y ON oap.src = y.node
+        ),
+        rho AS (
+          SELECT dst AS node, {d} * sum(t) AS dv
+          FROM (SELECT dst, t FROM nt UNION ALL SELECT dst, t FROM ot)
+          GROUP BY dst
+          HAVING {d} * sum(t) <> 0.0
+        ),
+        pf AS (SELECT src, dst, count(*) AS c FROM e GROUP BY src, dst),
+        odf AS (SELECT src, sum(c) AS od FROM pf GROUP BY src),
+        wf AS (
+          SELECT pf.src, pf.dst, pf.c * 1.0 / odf.od AS w
+          FROM pf JOIN odf ON pf.src = odf.src
+        ),
+        {",".join(hsteps)},
+        tot AS (
+          SELECT node, sum(dv) AS dv
+          FROM (SELECT node, dv FROM rho UNION ALL {hop_union})
+          GROUP BY node
+        ),
+        vf AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        yn AS (
+          SELECT vf.node,
+                 coalesce(y.y, 1.0) + coalesce(t.dv, 0.0) AS y
+          FROM vf LEFT JOIN yb y ON vf.node = y.node
+          LEFT JOIN tot t ON vf.node = t.node
+        ),
+        sy AS (SELECT sum(y) AS s FROM yn)
+        SELECT node AS node_name, round(y / sy.s, 8) AS rank3
+        FROM yn CROSS JOIN sy
     """
 
 
@@ -5103,6 +5405,8 @@ def oracle_sql() -> dict[str, str]:
         "simrank_r2": _simrank_sql(rounds=2, c=0.8),
         "ppr_sweep": _ppr_sweep_sql(k=4, top=64),
         "ppr_push": _ppr_push_sql(k=3),
+        "ppr_nibble": _ppr_nibble_sql(k=3, top=48),
+        "stream_delta_r3": _stream_delta_sql(k=3),
     }
     # the two-phase algorithm must produce byte-identical components
     out["components_twophase"] = out["components"]

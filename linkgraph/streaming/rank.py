@@ -141,6 +141,7 @@ def _solve_y(
     eps_y: float = 1e-8,
     max_iter: int = 500,
     warm: DataFrame | None = None,
+    fixed_rounds: int | None = None,
 ):
     """Solve the teleport-1 linear system y = 1 + d·Aᵀy (A = out-degree-
     normalized adjacency with multiplicity weights; dangling columns leak —
@@ -149,7 +150,9 @@ def _solve_y(
     identity: pi_A = pi_B/Σpi_B — see pagerank_dataframe's family doc), and
     y is scale-canonical (every vertex's teleport term is exactly 1), which
     is what lets stream deltas compose across batches. Returns (y_df
-    [node, y], iterations)."""
+    [node, y], iterations). ``fixed_rounds`` runs exactly that many Jacobi
+    rounds with no convergence action — the deterministic, CTE-unrollable
+    shape the driver contract hashes."""
     from pyspark.sql import functions as F
 
     pairs = full_edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
@@ -172,7 +175,8 @@ def _solve_y(
         y = verts.select("node", F.lit(1.0).alias("y"))
     y = y.localCheckpoint(eager=True)
     it = 0
-    for it in range(1, max_iter + 1):
+    n_iter = fixed_rounds if fixed_rounds is not None else max_iter
+    for it in range(1, n_iter + 1):
         contrib = (
             wedges.join(y.select(F.col("node").alias("src"), "y"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -187,11 +191,12 @@ def _solve_y(
             )
             .localCheckpoint(eager=True)
         )
-        delta = new_y.agg(
-            F.sum(F.pow(F.col("y") - F.col("y_old"), 2)).alias("sq")
-        ).first()["sq"]
+        if fixed_rounds is None:
+            delta = new_y.agg(
+                F.sum(F.pow(F.col("y") - F.col("y_old"), 2)).alias("sq")
+            ).first()["sq"]
         y = new_y.select("node", "y")
-        if float(delta) ** 0.5 <= eps_y:
+        if fixed_rounds is None and float(delta) ** 0.5 <= eps_y:
             break
     wedges.unpersist()
     return y, it
@@ -207,9 +212,19 @@ def stream_pagerank_delta(
     churn_threshold: float = 0.05,
     push_group: int = 10,
     available_now: bool = False,
+    fixed_rounds: int | None = None,
 ):
     """Streaming PageRank maintenance by RESIDUAL DELTA PUSH — per-batch
     join work O(affected), not O(m) (round-3 VERDICT #5).
+
+    ``fixed_rounds`` switches the whole maintenance to its deterministic,
+    CTE-unrollable shape for the driver contract: full-solve batches run
+    exactly that many Jacobi rounds (no convergence action), delta batches
+    run exactly that many push hops with frontier pruning DISABLED
+    (θ = 0 — only exact-zero entries drop), so the y table after any batch
+    is pure fixed-depth linear algebra over the edge multiset — the same
+    estimate+residual oracle argument as operators/push.py. Production
+    leaves it None (converged maintenance).
 
     State is the teleport-1 solution y of (I − d·Aᵀ)y = 1 (`_solve_y`);
     the public rank table is y/Σy, which equals the converged Family-A
@@ -337,7 +352,10 @@ def stream_pagerank_delta(
                 .count()
             )
             eps_solve = max(eps_y, eps_rank * n_now * (1.0 - d) / d)
-            y_new, rounds = _solve_y(full, d=d, eps_y=eps_solve, warm=y_old)
+            y_new, rounds = _solve_y(
+                full, d=d, eps_y=eps_solve, warm=y_old,
+                fixed_rounds=fixed_rounds,
+            )
         else:
             mode = "delta"
             # --- residual rho on the affected out-neighborhoods ---
@@ -402,6 +420,10 @@ def stream_pagerank_delta(
                 0.5 * eps_eff * (1.0 - d)
                 / (d * max(1, k_budget) * max(1, n_nodes_old))
             )
+            if fixed_rounds is not None:
+                # deterministic contract shape: no pruning (only exact
+                # zeros drop), depth fixed below instead of l1-targeted
+                theta = 0.0
             # --- push series: total = rho + Σ (d·Aᵀ)^k rho ---
             # The probe table carries a src-hash bucket column and is
             # range-partitioned + sorted by it, so the in-memory columnar
@@ -448,7 +470,13 @@ def stream_pagerank_delta(
             delta = rho
             frontier_rows = []
             pruned_rounds = 0
-            while l1 > target and rounds < 4 * max(1, k_budget):
+
+            def _more():
+                if fixed_rounds is not None:
+                    return rounds < fixed_rounds
+                return l1 > target and rounds < 4 * max(1, k_budget)
+
+            while _more():
                 if len(bkts) <= P // 4:
                     # SPARSE frontier: one eager hop against the bucket-
                     # pruned probe, lineage cut per hop. (Measured note:
@@ -474,7 +502,12 @@ def stream_pagerank_delta(
                 # additionally rides along as the next seed (tag 'd');
                 # identical join subtrees dedup via ReusedExchange.
                 group = []
-                for _ in range(push_group):
+                n_group = (
+                    min(push_group, fixed_rounds - rounds)
+                    if fixed_rounds is not None
+                    else push_group
+                )
+                for _ in range(n_group):
                     delta = _hop(wedges, delta)
                     group.append(delta)
                     rounds += 1

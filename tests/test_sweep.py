@@ -113,3 +113,54 @@ def test_sweep_validation(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     with pytest.raises(ValueError):
         ppr_sweep(e, seeds, k=0)
+    with pytest.raises(ValueError):
+        ppr_sweep(e, seeds, k=2, top=8, cap=4)
+
+
+def test_sweep_capped_equals_uncapped_prefix(spark):
+    # the scale bound: truncating the support to the top-cap scores BEFORE
+    # ranking must not change any returned prefix with top <= cap — an
+    # edge whose far endpoint ranks beyond the cap contributes the same
+    # never-uncut +1 delta as an unranked endpoint
+    rng = np.random.default_rng(23)
+    n, m = 30, 140
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    e = edges_df(spark, src, dst)
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+    uncapped = _curve(ppr_sweep(e, seeds, k=3, top=6, cap=None))
+    capped = _curve(ppr_sweep(e, seeds, k=3, top=6, cap=8))
+    assert capped == uncapped
+    assert len(capped) > 0
+
+
+def test_nibble_matches_sweep_cut_on_push_scores(spark):
+    # ppr_nibble == sweep_cut over ppr_push's estimates, and the curve
+    # matches the brute-force sweep of those same scores
+    from linkgraph.operators.push import ppr_push
+    from linkgraph.operators.sweep import ppr_nibble, sweep_cut
+
+    cl_a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl_b = [(a + 4, b + 4) for a in range(4) for b in range(a + 1, 4)]
+    half = cl_a + cl_b + [(0, 4)]
+    edge_list = half + [(b, a) for a, b in half]
+    src = [a for a, _ in edge_list]
+    dst = [b for _, b in edge_list]
+    e = edges_df(spark, src, dst)
+
+    got = _curve(ppr_nibble(e, 1, alpha=0.15, eps=1e-4, fixed_rounds=5,
+                            top=None))
+    scores = ppr_push(e, 1, alpha=0.15, eps=1e-4, fixed_rounds=5).scores
+    via_cut = _curve(
+        sweep_cut(e, scores.select("node", "p"), top=None)
+    )
+    assert got == via_cut
+
+    p = {r["node"]: r["p"] for r in scores.collect() if r["p"] > 0}
+    want = brute_sweep(edge_list, p)
+    assert [(pp, nn, dg, vol, cut) for pp, nn, dg, vol, cut, _ in want] == [
+        (pp, nn, dg, vol, cut) for pp, nn, dg, vol, cut, _ in got
+    ]
+    # seed inside clique A: the minimum is still the clique boundary
+    best = min(got, key=lambda r: (r[5], r[0]))
+    assert best[4] == 1
