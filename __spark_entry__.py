@@ -2964,8 +2964,11 @@ def _ppr_unrolled_sql(k: int, d: float = D) -> str:
 
 def _ppr_sweep_sql(k: int, top: int, d: float = D) -> str:
     """Sweep-cut twin of q_ppr_sweep: k PPR steps seeded at min(src), then
-    the exact conductance curve — support ordered by r/deg (vertex-id
-    tie-break), per-prefix cut from ±1 deltas at each undirected edge's
+    the exact conductance curve — support ordered by the floor-scaled
+    r/deg key (floor(score·1e10 + 0.5) desc, vertex-id tie-break: the
+    same cross-engine-stable key the Spark operator ranks on, so
+    partition-order summation ulps fall to the id tie-break identically),
+    per-prefix cut from ±1 deltas at each undirected edge's
     min/max sweep position (edges with an unranked endpoint never get the
     −1: they stay cut forever), vol/cut window cumsums, φ over the
     min-side volume. The PPR runs on the SYMMETRIZED simple bipartite
