@@ -135,11 +135,19 @@ def main() -> None:
         "node2vec_k3": "node2vec step: frontier-bounded edge join + "
         "edge-keyed distance-flag LEFT join + per-walk cumulative "
         "slot window",
-        "ppr_sweep": "sweep cut: after the PPR loop, ONE sort of the "
-        "support (row_number window), edge deltas as two position-"
-        "keyed partial+final counts, cut/vol as running-sum windows "
-        "over the support only — the graph is never rescanned per "
-        "prefix",
+        "ppr_sweep": "sweep cut: after the PPR loop the support is "
+        "truncated to the top-cap scores via TakeOrderedAndProject and "
+        "position-ranked, then EAGERLY materialized (the `Scan "
+        "ExistingRDD` leaf below IS that ≤ cap-row table — the "
+        "TakeOrdered → row_number stage ran at localCheckpoint time, "
+        "over ≤ cap rows, never the raw support); edge deltas are two "
+        "position-keyed partial+final counts against BROADCAST "
+        "position tables, cut/vol running-sum windows over ≤ cap "
+        "rows — the graph is never rescanned per prefix",
+        "ppr_nibble": "PageRank-Nibble: the sweep stages above over the "
+        "eps-pruned ACL push support — every stage bounded by the "
+        "support (O(1/(α·eps)), graph-size-independent), the designed "
+        "100-TB local-clustering composition",
     }
     sections = []
     for name, why in picks.items():
