@@ -539,6 +539,80 @@ def q_pagerank_w_k5(spark, sf_dir):
     )
 
 
+def q_pagerank_decay_k5(spark, sf_dir):
+    """Time-decayed weighted PageRank, five fixed Family-A iterations:
+    per-transition weight 0.5^(floor(age_sec/86400)/30) (half-life 30
+    days against the corpus max timestamp), pair weight = sum of row
+    decays, transition probability w/Σ_out w — the recency-weighted rank
+    a link-graph over living transcripts actually wants (old reply edges
+    decay instead of counting forever). Pure reuse of the proven
+    weighted engine path (pagerank_dataframe weight_col=...); the
+    unrolled-CTE oracle shares the weighted recurrence with a decay
+    prelude. Age is integer days from integer epoch seconds, so the only
+    cross-engine float is the pow itself (same accepted libm class as
+    bm25's ln)."""
+    from linkgraph.operators.pagerank import pagerank_dataframe
+
+    ev = _events(spark, sf_dir)
+    mt = ev.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def node(c):
+        return F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit(":"), c)
+
+    decay = F.pow(
+        F.lit(0.5),
+        F.floor((F.lit(int(mt)) - F.unix_timestamp("ts")) / F.lit(86400.0))
+        / F.lit(30.0),
+    )
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            node(F.col("prev_type")).alias("src"),
+            node(F.col("event_type")).alias("dst"),
+            decay.alias("w0"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w0").alias("weight"))
+    )
+    res = pagerank_dataframe(
+        edges, eps=0.0, max_iter=5, check_convergence=False, weight_col="weight"
+    )
+    return res.ranks.select(
+        F.col("node").alias("node_name"), _fs("rank", 8).alias("rank5")
+    )
+
+
+def q_minhash_band_pairs(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs via the md5 hash family
+    (dedup.minhash_lsh_md5): shingle → 8 string-min minhashes → 4 bands
+    → bucket self-join → integer agree count per pair. The md5 family
+    makes the WHOLE banded-LSH pipeline shape value-hash-checkable
+    (lexicographic hex mins are byte-identical in DuckDB; no float
+    anywhere) — the anf_round precedent applied to near-dup detection.
+    The xxhash64 production path stays `minhash_near_dups` (rows-only)."""
+    from linkgraph.operators.dedup import minhash_lsh_md5
+
+    return minhash_lsh_md5(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_len=5
+    ).select("a", "b", "agree")
+
+
+def q_winnow_round(spark, sf_dir):
+    """Winnowing fingerprints (MOSS; textstats.winnowing_fingerprints)
+    with the md5 hash family: k=3 grams, window=4 lexicographic string
+    min, positions < window-1 dropped, distinct (id, fp) — the
+    subsampled plagiarism/near-dup fingerprint table, value-hash-checked
+    end-to-end (the xxhash64 production variant stays `winnowing`,
+    rows-only)."""
+    from linkgraph.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _docs(spark, sf_dir), k=3, window=4, hash_family="md5"
+    ).select(F.col("id").alias("doc_id"), "fp")
+
+
 def q_pagerank_b_k5(spark, sf_dir):
     """Five fixed Family-B (mtx/OCL) iterations: plain (1-d)/n base, mass
     leaks through dangling vertices, ONE final sum-normalization
@@ -2629,9 +2703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_w_k5": q_pagerank_w_k5,
         "pagerank_b_k5": q_pagerank_b_k5,
         "pagerank_ws_k5": q_pagerank_ws_k5,
-        "pagerank_bs_k5": q_pagerank_bs_k5,
+        "pagerank_decay_k5": q_pagerank_decay_k5,
         "ppr_k5": q_ppr_k5,
-        "hits_k3": q_hits_k3,
+        "minhash_band_pairs": q_minhash_band_pairs,
         "katz_k4": q_katz_k4,
         "eigen_k4": q_eigen_k4,
         "salsa_k3": q_salsa_k3,
@@ -2650,12 +2724,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_curve": q_knn_curve,
         "quality": q_quality,
         "corpus_filter": q_corpus_filter,
-        "tfidf_topk": q_tfidf_topk,
+        "winnow_round": q_winnow_round,
         "bm25": q_bm25,
         "anf_round": q_anf_round,
         "louvain_round": q_louvain_round,
         # ---- end of the driver's 50-entry window ----
         # -- value-hash oracles re-certified by the local mirror gate --
+        "pagerank_bs_k5": q_pagerank_bs_k5,
+        "hits_k3": q_hits_k3,
+        "tfidf_topk": q_tfidf_topk,
         "bowtie": q_bowtie,
         "ktruss_r2": q_ktruss_r2,
         "trussness_r2": q_trussness_r2,
@@ -2761,7 +2838,7 @@ _DOC_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
 def _pagerank_unrolled_sql(
-    k: int, d: float = D, family: str = "a", weighted: bool = False
+    k: int, d: float = D, family: str = "a", weighted: bool | str = False
 ) -> str:
     """PageRank recurrence unrolled into k chained CTE steps. Family "a"
     (pagerank_custom.h:70-87): leaked_i = Σ r_i over dangling vertices,
@@ -2803,7 +2880,36 @@ def _pagerank_unrolled_sql(
         else f"""SELECT node AS node_name,
                 round(r / (SELECT sum(r) FROM r{k}), 8) AS rank5 FROM r{k}"""
     )
-    if weighted:
+    if weighted == "decay":
+        # time-decayed per-user transition graph: row weight
+        # 0.5^(floor(age_sec/86400)/30) vs the corpus max ts, pair
+        # weight = sum of row decays, P(src→dst) = wt / Σ_out wt
+        utrans_ts = """
+            SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || lag(event_type)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                   'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS dst,
+                   ts
+            FROM events
+            QUALIFY src IS NOT NULL
+        """
+        prelude = f"""
+        WITH rawt AS ({utrans_ts}),
+        mx AS (SELECT max(CAST(epoch(ts) AS BIGINT)) AS mt FROM events),
+        wrow AS (
+          SELECT src, dst,
+                 pow(0.5, floor((mx.mt - CAST(epoch(ts) AS BIGINT))
+                                / 86400.0) / 30.0) AS w0
+          FROM rawt CROSS JOIN mx
+        ),
+        edges AS (SELECT src, dst, sum(w0) AS wt FROM wrow GROUP BY src, dst),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        od AS (SELECT src, sum(wt) AS out_w FROM edges GROUP BY src),
+        we AS (
+          SELECT e.src, e.dst, e.wt * 1.0 / od.out_w AS w
+          FROM edges e JOIN od ON e.src = od.src
+        ),"""
+    elif weighted:
         # reply-count-weighted per-user transition graph (_UTRANS):
         # P(src→dst) = wt / Σ_out wt
         prelude = f"""
@@ -4132,6 +4238,71 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_k5": _pagerank_unrolled_sql(5),
         "pagerank_b_k5": _pagerank_unrolled_sql(5, family="b"),
         "pagerank_w_k5": _pagerank_unrolled_sql(5, weighted=True),
+        "pagerank_decay_k5": _pagerank_unrolled_sql(5, weighted="decay"),
+        "minhash_band_pairs": f"""
+            WITH base AS (
+              SELECT doc_id AS id, string_split({_DOC_NORM}, ' ') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(toks) - 4, 1)),
+                  i -> array_to_string(toks[i:i+4], ' ')
+              ))) AS shingle
+              FROM base
+            ),
+            hx AS (
+              SELECT id, i,
+                     min(md5(shingle || '|' || CAST(i AS VARCHAR))) AS h
+              FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
+              GROUP BY id, i
+            ),
+            bands AS (
+              SELECT id, i // 2 AS band,
+                     string_agg(h, ',' ORDER BY i) AS bucket
+              FROM hx GROUP BY id, i // 2
+            ),
+            pairs AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM bands l
+              JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+              WHERE l.id < r.id
+            ),
+            ag AS (
+              SELECT p.a, p.b,
+                     CAST(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END)
+                          AS BIGINT) AS agree
+              FROM pairs p
+              JOIN hx ha ON ha.id = p.a
+              JOIN hx hb ON hb.id = p.b AND hb.i = ha.i
+              GROUP BY p.a, p.b
+            )
+            SELECT a, b, agree FROM ag
+        """,
+        "winnow_round": f"""
+            WITH base AS (
+              SELECT doc_id AS id, string_split({_DOC_NORM}, ' ') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT id, i - 1 AS pos,
+                     md5(array_to_string(toks[i:i+2], ' ')) AS h
+              FROM (
+                SELECT id, toks,
+                       unnest(generate_series(1, greatest(len(toks) - 2, 1)))
+                         AS i
+                FROM base
+              )
+            ),
+            w AS (
+              SELECT id, pos,
+                     min(h) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS fp
+              FROM g
+            )
+            SELECT DISTINCT id AS doc_id, fp FROM w WHERE pos >= 3
+        """,
         # same recurrences, computed by the sharded CSR engine instead of
         # the dataframe loop — engine-agnostic oracles by design
         "pagerank_ws_k5": _pagerank_unrolled_sql(5, weighted=True),

@@ -66,7 +66,8 @@ QUERY_LIST = [
     "ppr_push",
     # round-5 additions (streaming drives stay excluded per the
     # contract-runtime budget; they're benched in BENCH/)
-    "ppr_nibble",
+    "ppr_nibble", "pagerank_decay_k5", "minhash_band_pairs",
+    "winnow_round",
 ]
 
 

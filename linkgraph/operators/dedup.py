@@ -225,6 +225,75 @@ def minhash_lsh(
     return out
 
 
+def minhash_lsh_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs [a, b, agree] (a < b) via the md5
+    hash family — the cross-engine value-oracle twin of ``minhash_lsh``
+    (same shingle → k-minhash → band → bucket-self-join algebra, but
+    h_i(s) = md5(s || '|' || i) as a HEX STRING and the per-(doc, i) min
+    is the lexicographic string min, which DuckDB reproduces exactly:
+    fixed-width lowercase hex compares byte-wise identically in both
+    engines, and no float appears anywhere — ``agree`` is the integer
+    count of equal minhashes of the pair). The xxhash64 production path
+    stays ``minhash_lsh`` (8-byte hashes, ~4× less shuffle width); this
+    family exists so the banded-LSH pipeline shape itself carries a
+    value-hash driver oracle, the anf_round precedent."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = shingles(docs, id_col, text_col, shingle_len)
+    mins = [
+        F.min(
+            F.md5(F.concat(F.col("shingle"), F.lit(f"|{i}")))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins).persist()
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(F.col("id").alias("a"), "band", "bucket")
+    right = banded.select(F.col("id").alias("b"), "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    agree = None
+    for i in range(num_hashes):
+        t = (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int")
+        agree = t if agree is None else agree + t
+    out = (
+        pairs.join(sig.alias("sa"), pairs.a == F.col("sa.id"))
+        .join(sig.alias("sb"), pairs.b == F.col("sb.id"))
+        .select("a", "b", agree.cast("long").alias("agree"))
+    )
+    return out
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """[id, simhash: long] — 64-bit SimHash over whitespace tokens.
 

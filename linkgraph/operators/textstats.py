@@ -160,6 +160,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     k: int = 3,
     window: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """[id, fp] — winnowing fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03, the MOSS algorithm): hash every k-token gram, slide a
@@ -167,9 +168,18 @@ def winnowing_fingerprints(
     Guarantees every match of length >= window+k-1 tokens shares a
     fingerprint, while storing ~2/(window+1) of the grams — the
     subsampling property that makes fingerprint joins tractable at corpus
-    scale. Pure Catalyst: array ops + a rows-window min."""
+    scale. Pure Catalyst: array ops + a rows-window min.
+
+    ``hash_family="md5"`` switches the gram hash to the md5 HEX STRING
+    with a lexicographic window min — byte-identical in DuckDB, so the
+    whole winnowing pipeline carries a value-hash driver oracle
+    (`winnow_round`); the 8-byte xxhash64 default stays the production
+    path (fixed-width ints, ~5× narrower shuffle)."""
     from pyspark.sql import Window as W
 
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    ghash = F.xxhash64 if hash_family == "xxhash64" else F.md5
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     toks = F.split(norm, " ")
     idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
@@ -177,7 +187,7 @@ def winnowing_fingerprints(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.transform(
-                idxs, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+                idxs, lambda i: ghash(F.concat_ws(" ", F.slice(toks, i + 1, k)))
             )
         ).alias("pos", "h"),
     )

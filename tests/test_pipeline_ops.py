@@ -120,6 +120,26 @@ def test_minhash_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_md5_family_matches_semantics(spark):
+    # the md5 oracle family must reproduce the banded-LSH semantics:
+    # exact duplicates agree on every minhash and always pair; disjoint
+    # vocab never pairs; near-dups pair with high (not full) agreement
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark dataframes and shuffles " * 5
+    d = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["a"], r["b"]): r["agree"]
+        for r in dedup.minhash_lsh_md5(d, num_hashes=8, bands=8).collect()
+    }
+    assert pairs[(1, 2)] == 8  # identical docs: all 8 minhashes equal
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 2
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
 def test_minhash_estimate_close_to_exact(spark, docs):
     sample = docs.limit(30)
     pairs = dedup.minhash_lsh(sample, num_hashes=64, bands=32)
@@ -357,6 +377,17 @@ def test_winnowing_fingerprints(spark):
     # subsampling: far fewer fingerprints than grams
     n_grams = len(base.split()) - 2
     assert len(fps[1]) < n_grams
+    # the md5 oracle family keeps the same guarantees (string mins)
+    fps5 = {i: set() for i in (1, 2, 3)}
+    for r in winnowing_fingerprints(d, k=3, window=4, hash_family="md5").collect():
+        fps5[r["id"]].add(r["fp"])
+    assert len(fps5[1] & fps5[2]) >= 1
+    assert not (fps5[1] & fps5[3])
+    assert len(fps5[1]) < n_grams
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnowing_fingerprints(d, hash_family="sha9000")
 
 
 def test_ivf_topk_recall(spark, emb):
