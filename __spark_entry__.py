@@ -599,6 +599,31 @@ def q_minhash_band_pairs(spark, sf_dir):
     ).select("a", "b", "agree")
 
 
+def q_lsh_clusters(spark, sf_dir):
+    """End-to-end LSH near-dup CLUSTERING — the composite the 100-TB
+    dedup path actually runs (vs neardup_clusters' contract-scale
+    all-pairs verify): md5-banded MinHash candidates (minhash_lsh_md5,
+    never all-pairs) thresholded at agree >= 6 of 8 → union into
+    clusters via connected components → canonical doc = min doc_id per
+    cluster (singletons keep their own id). Pure composition of two
+    oracle-checked operators; integers/strings end-to-end, so the whole
+    pipeline gets a value-hash oracle (thresholded band pairs feed a
+    recursive reachability CTE in DuckDB)."""
+    from linkgraph.operators.components import connected_components
+    from linkgraph.operators.dedup import minhash_lsh_md5
+
+    pairs = minhash_lsh_md5(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_len=5
+    ).filter(F.col("agree") >= 6)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges).components
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    return ids.join(comp, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("component", "node").alias("cluster_id"),
+    )
+
+
 def q_winnow_round(spark, sf_dir):
     """Winnowing fingerprints (MOSS; textstats.winnowing_fingerprints)
     with the md5 hash family: k=3 grams, window=4 lexicographic string
@@ -2733,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_bs_k5": q_pagerank_bs_k5,
         "hits_k3": q_hits_k3,
         "tfidf_topk": q_tfidf_topk,
+        "lsh_clusters": q_lsh_clusters,
         "bowtie": q_bowtie,
         "ktruss_r2": q_ktruss_r2,
         "trussness_r2": q_trussness_r2,
@@ -5802,6 +5828,21 @@ def oracle_sql() -> dict[str, str]:
           FROM j
         )
         SELECT doc_id, reason = 'ok' AS keep, reason FROM r
+    """
+    # lsh_clusters composes the minhash_band_pairs oracle verbatim: same
+    # banded candidates, agree >= 6 threshold, then recursive reachability
+    # (min label per weak component; singletons keep their own id)
+    out["lsh_clusters"] = f"""
+        WITH RECURSIVE bp AS ({out["minhash_band_pairs"]}),
+        pairs AS (SELECT a, b FROM bp WHERE agree >= 6),
+        ids AS (SELECT doc_id FROM documents),
+        und AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM ids
+          UNION
+          SELECT und.v, reach.lab FROM reach JOIN und ON und.u = reach.node
+        )
+        SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
     """
     # Rewrite every round(expr, d) to the IEEE floor-scale twin of _fs()
     # (see _floorscale_sql). The TPC-H family is exempt: its rounds run in
