@@ -894,6 +894,42 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/dedup.py stream_exact_dedup):
+    documents arrive in two ascending-id chunks; each batch hashes,
+    anti-joins the maintained seen table, admits only new texts
+    (batch-internal keeper = min id), and promotes the snapshot via the
+    atomic manifest. With ascending chunks the final keeper per hash
+    equals the BATCH exact_dedup keeper (global min doc_id), so the
+    whole streaming path — epoch layout, probe anti-join, admission,
+    replay-safe commit — gets a one-GROUP-BY value-hash oracle."""
+    import shutil
+    import tempfile
+
+    from linkgraph.streaming.dedup import read_dedup_table, stream_exact_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cut = docs.agg(F.max("doc_id")).first()[0] // 2
+    root = tempfile.mkdtemp(prefix="lg_stream_dedup_")
+    try:
+        src_dir, work, ckpt = (f"{root}/src", f"{root}/work", f"{root}/ckpt")
+        for chunk in (0, 1):
+            part = docs.filter(
+                (F.col("doc_id") <= cut) if chunk == 0 else (F.col("doc_id") > cut)
+            )
+            part.write.mode("append").parquet(src_dir)
+            stream = spark.readStream.schema("doc_id long, text string").parquet(
+                src_dir
+            )
+            q = stream_exact_dedup(stream, work, ckpt, available_now=True)
+            q.awaitTermination(300)
+        out = read_dedup_table(spark, work).select("text_hash", "keeper_id")
+        out = out.localCheckpoint(eager=True)  # pin before the temp dir dies
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_stream_sessions(spark, sf_dir):
     """Stateful streaming sessionization (streaming/sessions.py
     stream_sessionize, applyInPandasWithState with an O(1)-per-actor
@@ -2759,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_k3": q_hits_k3,
         "tfidf_topk": q_tfidf_topk,
         "lsh_clusters": q_lsh_clusters,
+        "stream_dedup": q_stream_dedup,
         "bowtie": q_bowtie,
         "ktruss_r2": q_ktruss_r2,
         "trussness_r2": q_trussness_r2,
@@ -5163,6 +5200,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "stream_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id
             FROM documents GROUP BY md5(text)
         """,
         "chunk_dedup": r"""

@@ -32,3 +32,8 @@ from linkgraph.streaming.sketches import (  # noqa: F401
 from linkgraph.streaming.sessions import (  # noqa: F401
     stream_sessionize,
 )
+from linkgraph.streaming.dedup import (  # noqa: F401
+    dedup_maintenance_log,
+    read_dedup_table,
+    stream_exact_dedup,
+)

@@ -629,3 +629,67 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert final[(1, 1)] == 1 and final[(1, 2)] == 1
     assert final[(1, 3)] == 2 and final[(1, 4)] == 2 and final[(1, 5)] == 2
     assert final[(2, 6)] == 1 and final[(2, 7)] == 2
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup: two ascending-id document drops through one
+    checkpoint — the maintained seen table equals batch exact_dedup
+    (keeper = global min doc_id per md5 text), cross-batch duplicates are
+    NOT re-admitted (first arrival wins), and a replayed drain (same
+    source, fresh stream, same checkpoint) is a no-op."""
+    from linkgraph.streaming.dedup import (
+        dedup_maintenance_log,
+        read_dedup_table,
+        stream_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(1, "alpha beta"), (2, "gamma"), (3, "alpha beta")]
+    rows2 = [(4, "gamma"), (5, "delta"), (6, "alpha beta"), (7, "delta")]
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = stream_exact_dedup(stream, work, ckpt, available_now=True)
+        assert q.awaitTermination(300)
+
+    drain()
+    got1 = {
+        r["text_hash"]: r["keeper_id"]
+        for r in read_dedup_table(spark, work).collect()
+    }
+    assert sorted(got1.values()) == [1, 2]  # alpha->1 (batch min), gamma->2
+    log1 = dedup_maintenance_log(spark, work)
+    assert log1["n_hashes"] == 2 and log1["admitted"] == 2
+
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got = {
+        r["text_hash"]: r["keeper_id"]
+        for r in read_dedup_table(spark, work).collect()
+    }
+    # batch twin over everything seen: min doc_id per md5(text)
+    want = {
+        r["text_hash"]: r["keeper_id"]
+        for r in spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"))
+        .collect()
+    }
+    assert got == want
+    log2 = dedup_maintenance_log(spark, work)
+    assert log2["n_hashes"] == 3 and log2["admitted"] == 1  # only delta is new
+
+    # replay: same source, fresh stream, same checkpoint -> no state change
+    drain()
+    again = {
+        r["text_hash"]: r["keeper_id"]
+        for r in read_dedup_table(spark, work).collect()
+    }
+    assert again == got
