@@ -599,6 +599,50 @@ def q_minhash_band_pairs(spark, sf_dir):
     ).select("a", "b", "agree")
 
 
+def q_simhash_round(spark, sf_dir):
+    """SimHash digests via the md5 hash family (dedup.simhash_md5): the
+    per-bit token-majority algebra of the production 64-bit `simhash`
+    (rows-only, xxhash64) made value-hash-checkable — bits from md5 hex
+    nibbles with pure integer arithmetic, digest re-assembled as a
+    15-char hex string. One explode + 60 conditional sums, one scan."""
+    from linkgraph.operators.dedup import simhash_md5
+
+    return simhash_md5(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "simhash60"
+    )
+
+
+def _simhash_md5_sql(bits: int = 60) -> str:
+    """Twin of q_simhash_round: same nibble-integer bit extraction
+    (strpos over the hex alphabet instead of Spark's conv — identical
+    integers), same majority rule (sum > 0), same hex re-assembly."""
+    sums = []
+    for i in range(bits):
+        j, b = divmod(i, 4)
+        sums.append(
+            f"sum(CASE WHEN ((strpos('0123456789abcdef', "
+            f"substr(hx, {j + 1}, 1)) - 1) // {2 ** b}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS b{i}"
+        )
+    nibs = []
+    for j in range(bits // 4):
+        val = " + ".join(
+            f"(CASE WHEN b{4 * j + b} > 0 THEN {2 ** b} ELSE 0 END)"
+            for b in range(4)
+        )
+        nibs.append(f"substr('0123456789abcdef', ({val}) + 1, 1)")
+    return f"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 unnest(string_split({_DOC_NORM}, ' ')) AS tok
+          FROM documents
+        ),
+        h AS (SELECT id, md5(tok) AS hx FROM t),
+        s AS (SELECT id, {", ".join(sums)} FROM h GROUP BY id)
+        SELECT id AS doc_id, {" || ".join(nibs)} AS simhash60 FROM s
+    """
+
+
 def q_lsh_clusters(spark, sf_dir):
     """End-to-end LSH near-dup CLUSTERING — the composite the 100-TB
     dedup path actually runs (vs neardup_clusters' contract-scale
@@ -2796,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "lsh_clusters": q_lsh_clusters,
         "stream_dedup": q_stream_dedup,
+        "simhash_round": q_simhash_round,
         "bowtie": q_bowtie,
         "ktruss_r2": q_ktruss_r2,
         "trussness_r2": q_trussness_r2,
@@ -5206,6 +5251,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id
             FROM documents GROUP BY md5(text)
         """,
+        "simhash_round": _simhash_md5_sql(60),
         "chunk_dedup": r"""
             WITH d AS (
               SELECT doc_id AS id,

@@ -320,6 +320,47 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select("id", fold.alias("simhash"))
 
 
+def simhash_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """[id, simhash60: string] — SimHash over the md5 hash family, the
+    cross-engine value-oracle twin of ``simhash`` (same per-bit majority
+    algebra over the token MULTISET, but bit i of a token's hash is
+    extracted from md5 hex nibble i//4 with pure INTEGER arithmetic —
+    Spark reads the nibble via conv(hexchar, 16, 10), DuckDB via
+    strpos over the hex alphabet; identical integers, no 64-bit
+    signedness anywhere — and the digest is re-assembled as a
+    ``bits/4``-char hex string). 60 bits (15 nibbles) keeps everything
+    in exact int32 range on both engines; the xxhash64 64-bit ``simhash``
+    stays the production path (single long column, bitwise ops)."""
+    assert bits % 4 == 0 and 0 < bits <= 124
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(_normalize(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("hx", F.md5("tok"))
+    sums = []
+    for i in range(bits):
+        j, b = divmod(i, 4)
+        nib = F.conv(F.substring("hx", j + 1, 1), 16, 10).cast("int")
+        bit = F.floor(nib / F.lit(2**b)).cast("int") % 2
+        sums.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}")
+        )
+    agg = toks.groupBy("id").agg(*sums)
+    alphabet = "0123456789abcdef"
+    nib_chars = []
+    for j in range(bits // 4):
+        val = None
+        for b in range(4):
+            t = F.when(F.col(f"b{4 * j + b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+            val = t if val is None else val + t
+        nib_chars.append(F.lit(alphabet).substr(val + 1, F.lit(1)))
+    return agg.select("id", F.concat(*nib_chars).alias("simhash60"))
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, via pigeonhole block
     bucketing: with n_blocks = max_hamming + 1 bit-blocks, any pair at

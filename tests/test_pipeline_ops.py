@@ -768,3 +768,27 @@ def test_bm25_terms_normalized_and_validated(spark):
         textstats.bm25_scores(df, ["two words"])
     with pytest.raises(ValueError):
         textstats.bm25_scores(df, ["  "])
+
+
+def test_simhash_md5_family_semantics(spark):
+    # identical docs -> identical digest; near-dup -> small nibble-level
+    # difference; disjoint vocab -> large difference (all deterministic)
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base + "one extra trailing sentence appended here"
+    far = "completely different content about spark dataframes and shuffles " * 5
+    d = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id long, text string",
+    )
+    sh = {r["id"]: r["simhash60"] for r in dedup.simhash_md5(d).collect()}
+    assert all(len(v) == 15 for v in sh.values())
+    assert sh[1] == sh[2]
+
+    def bits(h):
+        return "".join(f"{int(c, 16):04b}" for c in h)
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(bits(a), bits(b)))
+
+    assert ham(sh[1], sh[3]) <= 12  # near-dup: most majority bits survive
+    assert ham(sh[1], sh[4]) > ham(sh[1], sh[3])
