@@ -599,6 +599,105 @@ def q_minhash_band_pairs(spark, sf_dir):
     ).select("a", "b", "agree")
 
 
+def q_lsh_round(spark, sf_dir):
+    """Multi-table sign-LSH approximate top-k via the deterministic
+    plan-time plane family (similarity.lsh_topk_md5): ±1 hyperplanes are
+    python-computed literals shared verbatim with the DuckDB twin,
+    bucket assignment runs on integer-quantized embeddings (exact — no
+    near-zero float sign flips), and the exact-cosine re-rank orders on
+    the floor-scaled key, so the WHOLE ANN pipeline — signatures,
+    multi-table candidate union, dedupe, re-rank — is value-hash-checked.
+    The xxhash64 `lsh_topk` stays the production path (rows-only +
+    recall pins)."""
+    from linkgraph.operators.similarity import lsh_topk_md5
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk_md5(emb, qv, k=5, bits=5, tables=8).select(
+        "query_id",
+        "neighbor_id",
+        _fs("cosine", 6).alias("cosine6"),
+        "rank",
+    )
+
+
+def _lsh_md5_sql(
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    dims: int = 64,
+    quant: int = 1024,
+) -> str:
+    """Twin of q_lsh_round. The ±1 plane literals come from the SAME
+    python md5_rademacher_planes call the Spark operator uses, inlined as
+    +x{i}/-x{i} terms; quantization, signature concat order, candidate
+    union/dedupe, the left-associated cosine fold (matching F.aggregate's
+    sequential fold term for term), and the floor-key rank all mirror the
+    operator exactly."""
+    from linkgraph.operators.similarity import md5_rademacher_planes
+
+    xcols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {float(quant)} + 0.5) "
+        f"AS BIGINT) AS x{i}"
+        for i in range(dims)
+    )
+    table_selects = []
+    for t in range(tables):
+        planes = md5_rademacher_planes(bits, dims, seed + t * 1009)
+        bit_cases = []
+        for p in range(bits):
+            terms = " + ".join(
+                (f"x{i}" if s == 1 else f"(-x{i})")
+                for i, s in enumerate(planes[p])
+            )
+            bit_cases.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+        table_selects.append(
+            f"SELECT vec_id, {t} AS tbl, {' || '.join(bit_cases)} AS sig FROM xq"
+        )
+    dot_terms = "0.0" + "".join(
+        f" + CAST(q.embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(n.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dims)
+    )
+    na_terms = "0.0" + "".join(
+        f" + CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dims)
+    )
+    union_all = " UNION ALL ".join(table_selects)
+    return f"""
+        WITH xq AS (SELECT vec_id, {xcols} FROM embeddings),
+        sigs AS ({union_all}),
+        qs AS (SELECT * FROM sigs WHERE vec_id < 5),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+          FROM qs q JOIN sigs e ON q.tbl = e.tbl AND q.sig = e.sig
+          WHERE q.vec_id <> e.vec_id
+        ),
+        norms AS (SELECT vec_id, sqrt({na_terms}) AS nrm FROM embeddings),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 ({dot_terms}) / (nq.nrm * nn.nrm) AS cosine
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings n ON n.vec_id = c.neighbor_id
+          JOIN norms nq ON nq.vec_id = c.query_id
+          JOIN norms nn ON nn.vec_id = c.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY floor(cosine * 1e10 + 0.5) DESC, neighbor_id
+                 ) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine6, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_simhash_round(spark, sf_dir):
     """SimHash digests via the md5 hash family (dedup.simhash_md5): the
     per-bit token-majority algebra of the production 64-bit `simhash`
@@ -2841,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_clusters": q_lsh_clusters,
         "stream_dedup": q_stream_dedup,
         "simhash_round": q_simhash_round,
+        "lsh_round": q_lsh_round,
         "bowtie": q_bowtie,
         "ktruss_r2": q_ktruss_r2,
         "trussness_r2": q_trussness_r2,
@@ -5252,6 +5352,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "simhash_round": _simhash_md5_sql(60),
+        "lsh_round": _lsh_md5_sql(k=5, bits=5, tables=8),
         "chunk_dedup": r"""
             WITH d AS (
               SELECT doc_id AS id,

@@ -67,7 +67,7 @@ QUERY_LIST = [
     # round-5 additions (streaming drives stay excluded per the
     # contract-runtime budget; they're benched in BENCH/)
     "ppr_nibble", "pagerank_decay_k5", "minhash_band_pairs",
-    "winnow_round", "lsh_clusters", "simhash_round",
+    "winnow_round", "lsh_clusters", "simhash_round", "lsh_round",
 ]
 
 

@@ -206,6 +206,109 @@ def lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def md5_rademacher_planes(
+    bits: int, dims: int, seed: int
+) -> list[list[int]]:
+    """±1 hyperplane matrix [bits][dims] derived from md5 at PLAN-BUILD
+    time (python hashlib): plane p, dim i = +1 iff the first hex digit of
+    md5(f"{p}|{i}|{seed}") is even. Because the signs are computed before
+    the plan exists, the Spark expression and the DuckDB twin share the
+    IDENTICAL literals — no cross-engine hash function needed at all."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p}|{i}|{seed}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(dims)
+        ]
+        for p in range(bits)
+    ]
+
+
+def lsh_topk_md5(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dims: int = 64,
+    quant: int = 1024,
+) -> DataFrame:
+    """Value-oracle twin of ``lsh_topk`` — same multi-table sign-LSH
+    recall amplification, engineered so every stage is cross-engine
+    bit-deterministic:
+
+    * hyperplanes are ±1 LITERALS (md5_rademacher_planes, computed in
+      python before the plan) — identical constants in the DuckDB twin;
+    * embeddings are quantized to integers (floor(x·quant + 0.5)) before
+      the plane dot products, so BUCKET ASSIGNMENT is exact integer
+      arithmetic — no near-zero float sign flips between engines;
+    * the exact-cosine re-rank orders on the floor-scaled key
+      floor(cosine·1e10 + 0.5) with an id tie-break (the sweep-cut
+      ordering rule), and _cosine's sequential left-fold matches a
+      left-associated SQL sum chain term for term.
+
+    The xxhash64 ``lsh_topk`` stays the production path (long signatures,
+    no 2k-term expressions). Returns [query_id, neighbor_id, cosine,
+    rank]."""
+    qi = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(quant)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+    def signatures(df, out_id):
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("v"),
+            qi.alias("vq"),
+        )
+        entries = []
+        for t in range(tables):
+            planes = md5_rademacher_planes(bits, dims, seed + t * 1009)
+            bit_chars = []
+            for p in range(bits):
+                lits = F.array(*[F.lit(s) for s in planes[p]])
+                dot = F.aggregate(
+                    F.zip_with(lits, F.col("vq"), lambda s, x: s * x),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                bit_chars.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+            entries.append(
+                F.struct(F.lit(t).alias("tbl"), F.concat(*bit_chars).alias("sig"))
+            )
+        return base.select(
+            out_id, "v", F.explode(F.array(*entries)).alias("ts")
+        ).select(out_id, "v", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+
+    e = signatures(embeddings, "neighbor_id")
+    q = signatures(queries, "query_id")
+    cand = (
+        F.broadcast(q.withColumnRenamed("v", "qv"))
+        .join(e.withColumnRenamed("v", "nv"), ["tbl", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(
+                F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")
+            ).alias("cosine"),
+        )
+    )
+    ckey = F.floor(F.col("cosine") * F.lit(1e10) + F.lit(0.5))
+    w = Window.partitionBy("query_id").orderBy(ckey.desc(), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
