@@ -698,6 +698,109 @@ def _lsh_md5_sql(
     """
 
 
+def q_ivf_round(spark, sf_dir):
+    """Deterministic IVF approximate top-k (similarity.ivf_topk_quant):
+    min-id centroids (the kmeans_round init — no float Lloyd in the
+    quantizer), INTEGER-quantized cell assignment and probe ranking
+    (ties to the smaller cell), exact-cosine re-rank on the floor-scaled
+    key — the IVFFlat coarse-quantizer layout with every stage
+    cross-engine bit-deterministic. The pyspark.ml KMeans `ivf_topk`
+    stays the production path (rows-only + recall pins)."""
+    from linkgraph.operators.similarity import ivf_topk_quant
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_quant(emb, qv, k=5, n_cells=8, n_probe=2).select(
+        "query_id",
+        "neighbor_id",
+        _fs("cosine", 6).alias("cosine6"),
+        "rank",
+    )
+
+
+def _ivf_quant_sql(
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dims: int = 64,
+    quant: int = 1024,
+) -> str:
+    """Twin of q_ivf_round: same min-id centroids, the same integer
+    squared-distance assignment/probe (row_number ties to the smaller
+    cell), and the lsh_round cosine machinery (left-associated fold +
+    floor-key rank)."""
+    xcols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {float(quant)} + 0.5) "
+        f"AS BIGINT) AS x{i}"
+        for i in range(dims)
+    )
+    ccols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {float(quant)} + 0.5) "
+        f"AS BIGINT) AS c{i}"
+        for i in range(dims)
+    )
+    d2_terms = " + ".join(
+        f"(x.x{i} - c.c{i}) * (x.x{i} - c.c{i})" for i in range(dims)
+    )
+    dot_terms = "0.0" + "".join(
+        f" + CAST(q.embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(n.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dims)
+    )
+    na_terms = "0.0" + "".join(
+        f" + CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dims)
+    )
+    return f"""
+        WITH xq AS (SELECT vec_id, {xcols} FROM embeddings),
+        cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, {ccols}
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells})
+        ),
+        dists AS (
+          SELECT x.vec_id, c.cell, ({d2_terms}) AS d2
+          FROM xq x CROSS JOIN cents c
+        ),
+        rn AS (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cell) AS rn
+          FROM dists
+        ),
+        assign AS (SELECT vec_id, cell FROM rn WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM rn
+          WHERE rn <= {n_probe} AND vec_id < 5
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id
+        ),
+        norms AS (SELECT vec_id, sqrt({na_terms}) AS nrm FROM embeddings),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 ({dot_terms}) / (nq.nrm * nn.nrm) AS cosine
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings n ON n.vec_id = c.neighbor_id
+          JOIN norms nq ON nq.vec_id = c.query_id
+          JOIN norms nn ON nn.vec_id = c.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY floor(cosine * 1e10 + 0.5) DESC, neighbor_id
+                 ) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine6, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_simhash_round(spark, sf_dir):
     """SimHash digests via the md5 hash family (dedup.simhash_md5): the
     per-bit token-majority algebra of the production 64-bit `simhash`
@@ -2941,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "simhash_round": q_simhash_round,
         "lsh_round": q_lsh_round,
+        "ivf_round": q_ivf_round,
         "bowtie": q_bowtie,
         "ktruss_r2": q_ktruss_r2,
         "trussness_r2": q_trussness_r2,
@@ -5353,6 +5457,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_round": _simhash_md5_sql(60),
         "lsh_round": _lsh_md5_sql(k=5, bits=5, tables=8),
+        "ivf_round": _ivf_quant_sql(k=5, n_cells=8, n_probe=2),
         "chunk_dedup": r"""
             WITH d AS (
               SELECT doc_id AS id,

@@ -68,6 +68,7 @@ QUERY_LIST = [
     # contract-runtime budget; they're benched in BENCH/)
     "ppr_nibble", "pagerank_decay_k5", "minhash_band_pairs",
     "winnow_round", "lsh_clusters", "simhash_round", "lsh_round",
+    "ivf_round",
 ]
 
 

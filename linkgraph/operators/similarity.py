@@ -309,6 +309,95 @@ def lsh_topk_md5(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk_quant(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1024,
+) -> DataFrame:
+    """Value-oracle twin of ``ivf_topk`` — the same IVF layout (coarse
+    cells, n_probe nearest cells per query, exact re-rank within probed
+    cells) with every stage cross-engine bit-deterministic:
+
+    * centroids = the ``n_cells`` smallest-id vectors (the kmeans_round
+      min-id init — no float Lloyd iteration in the quantizer);
+    * cell assignment by INTEGER squared distance on floor(x·quant+0.5)
+      quantized values, ties to the smaller cell — exact arithmetic, no
+      engine-order float sums;
+    * probe ranking by the same integer metric; cosine re-rank on the
+      floor-scaled key (lsh_topk_md5's ordering rule).
+
+    The pyspark.ml KMeans ``ivf_topk`` stays the production path.
+    Returns [query_id, neighbor_id, cosine, rank]."""
+    cents = embeddings.orderBy(id_col).limit(n_cells).collect()
+    # exact floor(x*quant + 0.5) in python (matches F.floor on doubles)
+    import math
+
+    cq = [
+        [int(math.floor(float(x) * quant + 0.5)) for x in r[vec_col]]
+        for r in cents
+    ]
+
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(quant)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+    def dist2(cell_vals):
+        lits = F.array(*[F.lit(c) for c in cell_vals])
+        return F.aggregate(
+            F.zip_with(F.col("vq"), lits, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def with_cells(df, out_id, keep_vec):
+        base = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(keep_vec), vq.alias("vq")
+        )
+        structs = F.array(
+            *[
+                F.struct(dist2(cq[c]).alias("d2"), F.lit(c).alias("cell"))
+                for c in range(n_cells)
+            ]
+        )
+        return base.withColumn("cells", F.array_sort(structs))
+
+    assigned = with_cells(embeddings, "neighbor_id", "nv").select(
+        "neighbor_id", "nv", F.col("cells")[0]["cell"].alias("cell")
+    )
+    probes = (
+        with_cells(queries, "query_id", "qv")
+        .select(
+            "query_id",
+            "qv",
+            F.explode(F.slice("cells", 1, n_probe)).alias("pc"),
+        )
+        .select("query_id", "qv", F.col("pc.cell").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(
+                F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")
+            ).alias("cosine"),
+        )
+    )
+    ckey = F.floor(F.col("cosine") * F.lit(1e10) + F.lit(0.5))
+    w = Window.partitionBy("query_id").orderBy(ckey.desc(), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

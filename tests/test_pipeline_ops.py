@@ -815,3 +815,16 @@ def test_lsh_md5_recall_and_invariance(spark, emb):
     assert sorted(map(tuple, again), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, approx), key=lambda t: (t[0], t[3])
     )
+
+
+def test_ivf_quant_recall_and_invariance(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    approx = similarity.ivf_topk_quant(emb, q, k=5, n_cells=8, n_probe=4).collect()
+    es = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    aps = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(es & aps) / len(es) >= 0.5  # deterministic on this fixture
+    again = similarity.ivf_topk_quant(
+        emb.repartition(13), q, k=5, n_cells=8, n_probe=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
