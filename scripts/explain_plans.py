@@ -148,6 +148,17 @@ def main() -> None:
         "eps-pruned ACL push support — every stage bounded by the "
         "support (O(1/(α·eps)), graph-size-independent), the designed "
         "100-TB local-clustering composition",
+        "lsh_round": "deterministic sign-LSH ANN: signature projection "
+        "is pure codegen'd integer arithmetic over plan-time ±1 "
+        "literals (no hash shuffle), the query side BROADCASTs into "
+        "the (tbl, sig) bucket join, dedupe + cosine re-rank + "
+        "TakeOrdered-style rank window over candidates only — the "
+        "corpus is never cross-joined",
+        "ivf_round": "deterministic IVF ANN: one 8-row centroid "
+        "collect, cell assignment as an in-row array_sort over 8 "
+        "integer distances (zero shuffle), probes BROADCAST into the "
+        "cell join, re-rank over probed cells only — candidate count "
+        "shrinks ~n_cells/n_probe-fold vs brute force",
     }
     sections = []
     for name, why in picks.items():
