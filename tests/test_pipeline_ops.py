@@ -828,3 +828,27 @@ def test_ivf_quant_recall_and_invariance(spark, emb):
         emb.repartition(13), q, k=5, n_cells=8, n_probe=4
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
+
+
+def test_corpus_job_cli(spark, tmp_path):
+    # the spark-submit corpus pipeline end-to-end: stages shrink
+    # monotonically, gate reasons partition the post-dedup survivors,
+    # and the kept parquet matches the reported count
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_job import main
+
+    out_dir = str(tmp_path / "kept")
+    res = main(
+        [
+            "--documents", f"{SF}/documents.parquet",
+            "--output", out_dir,
+            "--num-hashes", "16", "--bands", "8",
+        ]
+    )
+    s = res["stages"]
+    assert s["input"] >= s["after_exact_dedup"] >= s["after_neardup"] >= s["after_gates"]
+    assert sum(res["gate_reasons"].values()) == s["after_neardup"]
+    assert res["kept"] == s["after_gates"]
+    assert spark.read.parquet(out_dir).count() == res["kept"]
