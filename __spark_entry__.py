@@ -43,10 +43,12 @@ def _fs(col, digits):
     IEEE-754 ops in BOTH engines and every version of them, so this
     expression is bit-deterministic given identical x. The DuckDB twins are
     rewritten to the identical expression centrally in oracle_sql() (see
-    _floorscale_sql)."""
-    c = F.col(col) if isinstance(col, str) else col
-    s = F.lit(float(10**digits))
-    return F.floor(c * s + F.lit(0.5)) / s
+    _floorscale_sql). The single Spark-side implementation lives in
+    linkgraph/fp.py — every operator-internal copy delegates there too,
+    so the two sides cannot drift."""
+    from linkgraph.fp import floor_scale
+
+    return floor_scale(col, digits)
 
 
 def _floorscale_sql(sql: str) -> str:
@@ -77,7 +79,9 @@ def _floorscale_sql(sql: str) -> str:
             k += 1
         inner = out[j : comma if comma >= 0 else k - 1].strip()
         digits = int(out[comma + 1 : k - 1].strip()) if comma >= 0 else 0
-        repl = f"floor(({inner}) * 1e{digits} + 0.5) / 1e{digits}"
+        # self-parenthesized so the rewrite is precedence-safe wherever the
+        # round() sat (nested in another round's argument, right of '/', …)
+        repl = f"(floor(({inner}) * 1e{digits} + 0.5) / 1e{digits})"
         out = out[:i] + repl + out[k:]
 
 

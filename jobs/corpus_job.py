@@ -71,6 +71,15 @@ def main(argv: list[str] | None = None) -> dict:
     docs = spark.read.parquet(args.documents)
     n_in = docs.count()
     stages: dict[str, int] = {"input": n_in}
+    # each stage boundary is persisted so the per-stage count, the gate
+    # rollup, and the final write do NOT re-execute the upstream joins
+    # (exact-dedup semi-join, LSH candidate self-join, near-dup anti-join)
+    pinned: list = []
+
+    def _pin(df):
+        df = df.persist()
+        pinned.append(df)
+        return df
 
     if not args.skip_exact:
         keep = (
@@ -79,7 +88,7 @@ def main(argv: list[str] | None = None) -> dict:
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
         )
-        docs = docs.join(keep, "doc_id", "left_semi")
+        docs = _pin(docs.join(keep, "doc_id", "left_semi"))
         stages["after_exact_dedup"] = docs.count()
 
     if not args.skip_neardup:
@@ -98,7 +107,7 @@ def main(argv: list[str] | None = None) -> dict:
             .filter(F.col("node") != F.col("_keep"))
             .select(F.col("node").alias("doc_id"))
         )
-        docs = docs.join(drop, "doc_id", "left_anti")
+        docs = _pin(docs.join(drop, "doc_id", "left_anti"))
         stages["after_neardup"] = docs.count()
 
     reasons = {}
@@ -116,11 +125,13 @@ def main(argv: list[str] | None = None) -> dict:
             r["_reason"]: r["n"]
             for r in j.groupBy("_reason").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        docs = j.filter(F.col("_reason") == "ok").drop("_reason")
+        docs = _pin(j.filter(F.col("_reason") == "ok").drop("_reason"))
         stages["after_gates"] = docs.count()
 
     if args.output:
         docs.write.mode("overwrite").parquet(args.output)
+    for df in pinned:
+        df.unpersist()
 
     out = {
         "stages": stages,

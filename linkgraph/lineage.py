@@ -65,7 +65,10 @@ def cut(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
         try:
             n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         except Exception:  # non-numeric (AQE 'auto') or unset conf
-            n = df.rdd.getNumPartitions() or 1
+            try:
+                n = df.rdd.getNumPartitions() or 1
+            except Exception:  # Spark Connect: DataFrame.rdd unsupported
+                n = 200  # Spark's stock shuffle-partition default
     ck = df.repartition(n).localCheckpoint(eager=True)
     try:
         spark = df.sparkSession

@@ -253,7 +253,12 @@ def minhash_lsh_md5(
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("id").agg(*mins).persist()
+    # no persist: the signature aggregate is recomputed by the banding and
+    # the two agree-count joins (cheap at contract scale); a 100-TB caller
+    # owns caching/checkpointing of the corpus-sized signature table —
+    # persisting here would leak executor storage for the session lifetime
+    # (the function returns before any action runs)
+    sig = sh.groupBy("id").agg(*mins)
     banded = sig.select(
         "id",
         F.explode(

@@ -304,7 +304,9 @@ def lsh_topk_md5(
             ).alias("cosine"),
         )
     )
-    ckey = F.floor(F.col("cosine") * F.lit(1e10) + F.lit(0.5))
+    from linkgraph.fp import floor_scale_key
+
+    ckey = floor_scale_key(F.col("cosine"), 10)
     w = Window.partitionBy("query_id").orderBy(ckey.desc(), F.asc("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -393,7 +395,9 @@ def ivf_topk_quant(
             ).alias("cosine"),
         )
     )
-    ckey = F.floor(F.col("cosine") * F.lit(1e10) + F.lit(0.5))
+    from linkgraph.fp import floor_scale_key
+
+    ckey = floor_scale_key(F.col("cosine"), 10)
     w = Window.partitionBy("query_id").orderBy(ckey.desc(), F.asc("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -51,8 +51,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ordering-key scale: scores agreeing to 10 dp order identically; beyond
-# that the node-id tie-break decides (same expression in the SQL twins)
-_KEY_SCALE = 1e10
+# that the node-id tie-break decides (same expression in the SQL twins,
+# via the shared linkgraph/fp.py helper)
+_KEY_DIGITS = 10
 
 
 def sweep_cut(
@@ -89,7 +90,9 @@ def sweep_cut(
         F.count(F.lit(1)).alias("deg")
     )
 
-    skey = F.floor(F.col("score") * F.lit(_KEY_SCALE) + F.lit(0.5))
+    from linkgraph.fp import floor_scale_key
+
+    skey = floor_scale_key(F.col("score"), _KEY_DIGITS)
     support = (
         scores.filter(F.col("p") > 0)
         .join(deg, "node")

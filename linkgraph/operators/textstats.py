@@ -10,15 +10,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 def _fs8(col):
-    """Boundary-safe 8-dp rounding: floor(x*1e8 + 0.5)/1e8 in plain IEEE
-    ops — bit-deterministic across engines, unlike round() whose HALF_UP
-    (Spark BigDecimal) vs float-scaled (DuckDB) implementations can
-    disagree by one step when an exact integer-ratio value (punct/len,
-    distinct/total, …) lands on a representable .5 boundary. Matches the
-    floor-scale rewrite the driver-contract oracles apply
-    (__spark_entry__._floorscale_sql)."""
-    s = F.lit(1e8)
-    return F.floor(col * s + F.lit(0.5)) / s
+    """Boundary-safe 8-dp rounding (see linkgraph/fp.py for why round()
+    is not safe for exact integer-ratio values like punct/len)."""
+    from linkgraph.fp import floor_scale
+
+    return floor_scale(col, 8)
 
 
 # tiny deterministic stopword lists for the n-gram language heuristic

@@ -75,20 +75,22 @@ def stream_exact_dedup(
         )
         if prev is not None:
             old = spark.read.schema(SEEN_SCHEMA).parquet(prev["path"])
-            fresh = cand.join(old, "text_hash", "left_anti")
+            # persist the anti-join so the snapshot write and the admitted
+            # count execute the probe ONCE (the probe is the O(batch)
+            # delta work; re-running it per bookkeeping action would
+            # double the per-batch cost)
+            fresh = cand.join(old, "text_hash", "left_anti").persist()
             new_seen = old.unionByName(fresh.select("text_hash", "keeper_id"))
         else:
-            fresh = cand
-            new_seen = cand.select("text_hash", "keeper_id")
+            fresh = cand.persist()
+            new_seen = fresh.select("text_hash", "keeper_id")
+        n_fresh = fresh.count()
         snap_path = f"{seen_root}/snap={epoch_id}"
         new_seen.write.mode("overwrite").parquet(snap_path)
-        stats = (
-            spark.read.schema(SEEN_SCHEMA)
-            .parquet(snap_path)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .first()
-        )
-        n_fresh = fresh.count()
+        fresh.unpersist()
+        # corpus size rides the manifest forward — no O(corpus) snapshot
+        # re-scan per batch just to count rows
+        prev_n = int(prev["n_hashes"]) if prev is not None else 0
         write_manifest(
             spark,
             seen_root,
@@ -96,7 +98,7 @@ def stream_exact_dedup(
             {
                 "epoch": epoch_id,
                 "path": snap_path,
-                "n_hashes": int(stats["n"]),
+                "n_hashes": prev_n + int(n_fresh),
                 "admitted": int(n_fresh),
             },
         )

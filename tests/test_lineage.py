@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import time
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from linkgraph.lineage import cut
@@ -50,15 +48,13 @@ def test_cut_keeps_narrow_union_loop_flat(spark):
     # pinned separately in test_cut_preserves_values
     assert df.count() > 0
     # 14 rounds at a flat ~0.3-0.6 s each; the uncut loop needs >60 s for
-    # the same rounds (26 s for round 14 alone). The structural
-    # partition-count pin above is the primary regression guard; the wall
-    # check is a soft secondary signal only (skip, don't fail, on a
-    # loaded CI host — a genuinely re-poisoned loop blows far past this)
-    if wall >= 120:
-        pytest.skip(
-            f"wall {wall:.1f}s exceeds the soft bound on this host; "
-            "partition-count pin already passed"
-        )
+    # the same rounds (26 s for round 14 alone, walls DOUBLING per round —
+    # a re-poisoned loop blows past any constant). The partition-count pin
+    # above catches the union-stacking symptom but NOT planning-time
+    # growth, so the wall bound must still FAIL (not skip): 180 s is ~60×
+    # the healthy wall — ample headroom for a loaded CI host, unreachable
+    # for the exponential pathology at 14 rounds.
+    assert wall < 180, f"narrow-union loop no longer flat: {wall:.1f}s"
 
 
 def test_cut_preserves_values(spark):
